@@ -1,0 +1,136 @@
+"""Text cleaner pipelines.
+
+The primary pipeline is ``flowtron_cleaners`` (reference:text/cleaners.py:114-121):
+collapse whitespace -> remove intra-word hyphens -> dates/times -> numbers ->
+safe abbreviations ("No.") -> acronyms. Note it does NOT lowercase or
+transliterate. ``basic``/``transliteration``/``english`` variants are kept
+for config compatibility; transliteration falls back to a unicodedata-based
+ASCII fold since the unidecode package is unavailable.
+"""
+
+import re
+import unicodedata
+
+from flowtron_tpu.text.numbers import normalize_numbers
+from flowtron_tpu.text.acronyms import normalize_acronyms
+from flowtron_tpu.text.datestime import normalize_datestime
+
+_whitespace_re = re.compile(r"\s+")
+
+_abbreviations = [
+    (re.compile(r"\b%s\." % x[0], re.IGNORECASE), x[1]) for x in [
+        ("mrs", "misess"),
+        ("ms", "miss"),
+        ("mr", "mister"),
+        ("dr", "doctor"),
+        ("st", "saint"),
+        ("co", "company"),
+        ("jr", "junior"),
+        ("maj", "major"),
+        ("gen", "general"),
+        ("drs", "doctors"),
+        ("rev", "reverend"),
+        ("lt", "lieutenant"),
+        ("hon", "honorable"),
+        ("sgt", "sergeant"),
+        ("capt", "captain"),
+        ("esq", "esquire"),
+        ("ltd", "limited"),
+        ("col", "colonel"),
+        ("ft", "fort"),
+    ]
+]
+
+_safe_abbreviations = [
+    (re.compile(r"\b%s\." % x[0], re.IGNORECASE), x[1]) for x in [
+        ("no", "number"),
+    ]
+]
+
+# Shared CMUdict used by acronym expansion; injected by the frontend.
+_acronym_cmudict = None
+
+
+def set_acronym_cmudict(cmu):
+    global _acronym_cmudict
+    _acronym_cmudict = cmu
+
+
+def expand_abbreviations(text):
+    for regex, replacement in _abbreviations:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def expand_safe_abbreviations(text):
+    for regex, replacement in _safe_abbreviations:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def expand_numbers(text):
+    return normalize_numbers(text)
+
+
+def expand_acronyms(text):
+    return normalize_acronyms(text, _acronym_cmudict)
+
+
+def expand_datestime(text):
+    return normalize_datestime(text)
+
+
+def lowercase(text):
+    return text.lower()
+
+
+def collapse_whitespace(text):
+    return re.sub(_whitespace_re, " ", text)
+
+
+def separate_acronyms(text):
+    text = re.sub(r"([0-9]+)([a-zA-Z]+)", r"\1 \2", text)
+    text = re.sub(r"([a-zA-Z]+)([0-9]+)", r"\1 \2", text)
+    return text
+
+
+def remove_hyphens(text):
+    return re.sub(r"(?<=\w)(-)(?=\w)", " ", text)
+
+
+def convert_to_ascii(text):
+    """ASCII fold (unidecode stand-in: NFKD decomposition, drop combining)."""
+    decomposed = unicodedata.normalize("NFKD", text)
+    return decomposed.encode("ascii", "ignore").decode("ascii")
+
+
+def basic_cleaners(text):
+    text = lowercase(text)
+    text = collapse_whitespace(text)
+    return text
+
+
+def transliteration_cleaners(text):
+    text = convert_to_ascii(text)
+    text = lowercase(text)
+    text = collapse_whitespace(text)
+    return text
+
+
+def flowtron_cleaners(text):
+    text = collapse_whitespace(text)
+    text = remove_hyphens(text)
+    text = expand_datestime(text)
+    text = expand_numbers(text)
+    text = expand_safe_abbreviations(text)
+    text = expand_acronyms(text)
+    return text
+
+
+def english_cleaners(text):
+    text = convert_to_ascii(text)
+    text = lowercase(text)
+    text = expand_numbers(text)
+    text = expand_abbreviations(text)
+    text = collapse_whitespace(text)
+    return text

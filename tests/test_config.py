@@ -1,0 +1,43 @@
+"""Config loader and dotted-override tests (reference:train.py:39-57)."""
+
+import json
+
+from flowtron_tpu.config import load_config, update_params, DEFAULT_CONFIG
+
+
+def test_defaults():
+    cfg = load_config()
+    assert cfg["model_config"]["n_flows"] == 2
+    assert cfg["data_config"]["hop_length"] == 256
+    assert cfg["train_config"]["optim_algo"] == "RAdam"
+
+
+def test_json_merge(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"model_config": {"n_flows": 1}}))
+    cfg = load_config(str(p))
+    assert cfg["model_config"]["n_flows"] == 1
+    # untouched keys keep defaults
+    assert cfg["model_config"]["n_hidden"] == 1024
+
+
+def test_dotted_overrides():
+    cfg = load_config(overrides=[
+        "model_config.n_flows=3",
+        "train_config.learning_rate=2e-4",
+        "data_config.text_cleaners=['basic_cleaners']",
+    ])
+    assert cfg["model_config"]["n_flows"] == 3
+    assert cfg["train_config"]["learning_rate"] == 2e-4
+    assert cfg["data_config"]["text_cleaners"] == ["basic_cleaners"]
+
+
+def test_unknown_key_ignored(capsys):
+    cfg = load_config(overrides=["model_config.not_a_key=5"])
+    assert "not updated" in capsys.readouterr().out
+    assert cfg["model_config"] == DEFAULT_CONFIG["model_config"]
+
+
+def test_string_value_passthrough():
+    cfg = load_config(overrides=["train_config.checkpoint_path=/tmp/x.ckpt"])
+    assert cfg["train_config"]["checkpoint_path"] == "/tmp/x.ckpt"
