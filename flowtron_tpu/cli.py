@@ -1,0 +1,50 @@
+"""Command-line entry points.
+
+Mirrors the reference CLI contract (reference:train.py:380-415,
+reference:inference.py:93-132): ``-c config.json`` plus ``-p a.b=c``
+dotted overrides.
+"""
+
+import argparse
+
+from flowtron_tpu.config import load_config
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(description="Train Flowtron-TPU")
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="JSON file for configuration")
+    parser.add_argument("-p", "--params", nargs="+", default=[],
+                        help="dotted-path overrides: a.b.c=value")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config, args.params)
+    from flowtron_tpu.train.loop import train
+    train(config)
+
+
+def inference_main(argv=None):
+    parser = argparse.ArgumentParser(description="Flowtron-TPU inference")
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-p", "--params", nargs="+", default=[])
+    parser.add_argument("-f", "--flowtron_path", type=str, required=True,
+                        help="path to flowtron checkpoint")
+    parser.add_argument("-w", "--waveglow_path", type=str, default="",
+                        help="path to vocoder checkpoint (optional)")
+    parser.add_argument("-t", "--text", type=str, required=True)
+    parser.add_argument("-i", "--id", type=int, default=0,
+                        help="speaker id")
+    parser.add_argument("-n", "--n_frames", type=int, default=400)
+    parser.add_argument("-s", "--sigma", type=float, default=0.5)
+    parser.add_argument("-g", "--gate", type=float, default=0.5)
+    parser.add_argument("-o", "--output_dir", type=str, default="results")
+    parser.add_argument("--seed", type=int, default=1234)
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config, args.params)
+    from flowtron_tpu.infer.sampling import run_inference
+    run_inference(config, args)
+
+
+if __name__ == "__main__":
+    train_main()

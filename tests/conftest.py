@@ -6,12 +6,18 @@ XLA's host-platform device emulation.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The container's site hook pins JAX_PLATFORMS=axon (real TPU tunnel);
+# unit tests must run on the virtual 8-device CPU platform instead.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
