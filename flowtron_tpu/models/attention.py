@@ -1,0 +1,94 @@
+"""Content-based additive (tanh) attention.
+
+Matches the reference semantics (reference:flowtron.py:528-592):
+score = v · tanh(q + k) / temperature, softmax over text positions, optional
+beta-binomial prior posterior with the pre-softmax log-posterior kept for
+the CTC alignment loss.
+
+TPU formulation: the reference materializes a (B, Tq, Tk, D) tensor
+(reference:flowtron.py:572). Here the score is written as a broadcast
+add + tanh + weighted reduction, which XLA fuses into a single loop
+fusion whose only HBM output is the (B, Tq, Tk) score matrix.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models.layers import linear_params, linear_apply
+
+MASK_VALUE = -1e30
+
+
+def attention_params(key, n_query_dim=1024, n_speaker_dim=128,
+                     n_text_channels=512, n_att_channels=640,
+                     dtype=jnp.float32):
+    kq, kk, kv, kvec = jax.random.split(key, 4)
+    kd = n_text_channels + n_speaker_dim
+    return {
+        "query": linear_params(kq, n_query_dim, n_att_channels, bias=False,
+                               w_init_gain="tanh", dtype=dtype),
+        "key": linear_params(kk, kd, n_att_channels, bias=False,
+                             w_init_gain="tanh", dtype=dtype),
+        "value": linear_params(kv, kd, n_att_channels, bias=False,
+                               w_init_gain="tanh", dtype=dtype),
+        "v": linear_params(kvec, n_att_channels, 1, bias=False,
+                           w_init_gain="tanh", dtype=dtype),
+    }
+
+
+def attention_scores(params, queries_proj, keys_proj, temperature=1.0):
+    """(B, Tq, D), (B, Tk, D) -> (B, Tq, Tk) additive scores.
+
+    Fused broadcast-tanh-reduce: no (B, Tq, Tk, D) HBM intermediate.
+    """
+    v_w = params["v"]["w"][:, 0]  # (D,)
+    scores = jnp.einsum(
+        "bqkd,d->bqk",
+        jnp.tanh(queries_proj[:, :, None, :] + keys_proj[:, None, :, :]),
+        v_w,
+    )
+    return scores / temperature
+
+
+def attention_forward(params, queries, keys, values, key_mask=None,
+                      attn_prior=None, temperature=1.0, attn=None):
+    """Full attention over a sequence of queries.
+
+    Args:
+      params: attention parameter pytree.
+      queries: (Tq, B, n_query_dim) attention-LSTM outputs (time-major).
+      keys/values: (Tk, B, text+speaker dim) encoder outputs.
+      key_mask: (B, Tk) bool, True at valid text positions.
+      attn_prior: (B, Tq, Tk) beta-binomial prior or None.
+      temperature: score divisor (inference control).
+      attn: externally supplied attention map (B, Tq, Tk) or None.
+
+    Returns:
+      context (B, D_att, Tq), attn (B, Tq, Tk), attn_logprob (or None when
+      attn was supplied).
+    """
+    vals = linear_apply(params["value"], values).transpose(1, 0, 2)  # (B,Tk,D)
+
+    if attn is None:
+        q = linear_apply(params["query"], queries).transpose(1, 0, 2)
+        k = linear_apply(params["key"], keys).transpose(1, 0, 2)
+        scores = attention_scores(params, q, k, temperature)
+
+        if key_mask is not None:
+            scores = jnp.where(key_mask[:, None, :], scores, MASK_VALUE)
+        attn = jax.nn.softmax(scores, axis=2)
+
+        if attn_prior is not None:
+            log_post = jnp.log(attn.astype(jnp.float32) + 1e-20) \
+                + jnp.log(attn_prior.astype(jnp.float32) + 1e-20)
+            attn_logprob = log_post  # pre-mask, kept for the CTC loss
+            if key_mask is not None:
+                log_post = jnp.where(key_mask[:, None, :], log_post, MASK_VALUE)
+            attn = jax.nn.softmax(log_post, axis=2)
+        else:
+            attn_logprob = jnp.log(attn.astype(jnp.float32) + 1e-8)
+    else:
+        attn_logprob = None
+
+    context = jnp.einsum("bqk,bkd->bqd", attn, vals)
+    return context.transpose(0, 2, 1), attn, attn_logprob
