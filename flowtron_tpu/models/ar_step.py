@@ -1,0 +1,242 @@
+"""Autoregressive affine flow steps.
+
+AR_Step (reference:flowtron.py:645-828): teacher-forced training pushes the
+mel through ``mel' = exp(log_s) * mel + b`` where (log_s, b) come from
+shifted-mel -> attention LSTM -> text attention -> decoder LSTM -> dense ->
+zero-init 1x1 conv. Inference inverts frame by frame:
+``out_t = (z_t - b_t) / exp(log_s_t)`` with carried LSTM/attention state.
+
+AR_Back_Step (reference:flowtron.py:595-642) runs the same step over
+time-reversed input. The reference's per-sample flip+roll loops become a
+single precomputed gather (utils.flip_within_length_indices).
+
+TPU design: training is two masked LSTM scans + one fused attention over the
+whole sequence (all large MXU matmuls); inference is one lax.scan whose body
+is the fused per-frame cell. Gate early-exit becomes fixed-length scan +
+post-hoc first-hit index (n_valid), since TPU scans cannot break.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models.layers import (
+    linear_params, linear_apply, dense_layer_params, dense_layer_apply,
+)
+from flowtron_tpu.models.attention import (
+    attention_params, attention_forward, attention_precompute, attention_step,
+)
+from flowtron_tpu.ops.lstm import lstm_params, lstm_forward, lstm_cell
+from flowtron_tpu.utils.masks import flip_within_length_indices
+
+
+def ar_step_params(key, n_mel_channels=80, n_speaker_dim=128,
+                   n_text_channels=512, n_hidden=1024, n_attn_channels=640,
+                   n_lstm_layers=2, add_gate=False, dtype=jnp.float32):
+    keys = jax.random.split(key, 6)
+    p = {
+        # zero-init coupling head: every flow starts as the identity
+        # (reference:flowtron.py:651-653) — keep this.
+        "conv": {
+            "w": jnp.zeros((n_hidden, 2 * n_mel_channels), dtype),
+            "b": jnp.zeros((2 * n_mel_channels,), dtype),
+        },
+        "lstm": lstm_params(keys[0], n_hidden + n_attn_channels, n_hidden,
+                            num_layers=n_lstm_layers, dtype=dtype),
+        "attention_lstm": lstm_params(keys[1], n_mel_channels, n_hidden,
+                                      num_layers=1, dtype=dtype),
+        "attention_layer": attention_params(
+            keys[2], n_hidden, n_speaker_dim, n_text_channels,
+            n_attn_channels, dtype=dtype),
+        "dense_layer": dense_layer_params(keys[3], n_hidden,
+                                          (n_hidden, n_hidden), dtype=dtype),
+    }
+    if add_gate:
+        p["gate_layer"] = linear_params(
+            keys[4], n_hidden + n_attn_channels, 1, bias=True,
+            w_init_gain="sigmoid", dtype=dtype)
+    return p
+
+
+def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
+    """Teacher-forced forward flow.
+
+    Args:
+      mel: (T, B, n_mel) time-major mel (current flow input).
+      text: (Tk, B, text+speaker) encoder outputs.
+      key_mask: (B, Tk) valid text positions.
+      out_mask: (T, B) valid mel frames (None for single-sample infer-style).
+      attn_prior: (B, T, Tk) or None.
+
+    Returns (mel_out, log_s, gates, attn, attn_logprob).
+    """
+    n_mel = mel.shape[2]
+    dummy = jnp.zeros((1,) + mel.shape[1:], mel.dtype)
+    mel0 = jnp.concatenate([dummy, mel[:-1]], axis=0)
+
+    attention_hidden, _ = lstm_forward(params["attention_lstm"], mel0,
+                                       out_mask)
+    context, attn, attn_logprob = attention_forward(
+        params["attention_layer"], attention_hidden, text, text,
+        key_mask=key_mask, attn_prior=attn_prior)
+    # context: (B, D, T) -> (T, B, D)
+    context = context.transpose(2, 0, 1)
+    decoder_input = jnp.concatenate([attention_hidden, context], axis=-1)
+
+    gates = None
+    if "gate_layer" in params:
+        gates = linear_apply(params["gate_layer"], decoder_input)  # (T,B,1)
+
+    lstm_hidden, _ = lstm_forward(params["lstm"], decoder_input, out_mask)
+    hidden = dense_layer_apply(params["dense_layer"], lstm_hidden)
+    decoder_output = linear_apply(params["conv"], hidden)  # (T, B, 2*mel)
+
+    log_s = decoder_output[:, :, :n_mel]
+    b = decoder_output[:, :, n_mel:]
+    mel_out = jnp.exp(log_s) * mel + b
+    return mel_out, log_s, gates, attn, attn_logprob
+
+
+def _flip_time(x_tbf, lengths):
+    """Flip (T, B, ...) within per-sample lengths (padding stays at end)."""
+    T = x_tbf.shape[0]
+    idx = flip_within_length_indices(lengths, T)  # (B, T)
+    x_btf = jnp.moveaxis(x_tbf, 0, 1)             # (B, T, ...)
+    extra = (None,) * (x_btf.ndim - 2)
+    gathered = jnp.take_along_axis(
+        x_btf, idx[(slice(None), slice(None)) + extra], axis=1)
+    return jnp.moveaxis(gathered, 1, 0)
+
+
+def _flip_prior(prior, lengths):
+    """Flip (B, T, Tk) prior along its mel-time axis within lengths."""
+    T = prior.shape[1]
+    idx = flip_within_length_indices(lengths, T)
+    return jnp.take_along_axis(prior, idx[:, :, None], axis=1)
+
+
+def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
+                         attn_prior=None):
+    """Backward flow: run ar_step on time-reversed mel.
+
+    Matches reference:flowtron.py:605-627: mel comes back un-flipped;
+    log_s / gates / attn stay in the flipped time order (the loss is
+    flip-invariant under its mask, and the CTC loss un-flips logprobs
+    itself).
+    """
+    mel_f = _flip_time(mel, out_lens)
+    prior_f = _flip_prior(attn_prior, out_lens) if attn_prior is not None \
+        else None
+    mel_out, log_s, gates, attn, attn_logprob = ar_step_forward(
+        params, mel_f, text, key_mask, out_mask, prior_f)
+    mel_out = _flip_time(mel_out, out_lens)
+    return mel_out, log_s, gates, attn, attn_logprob
+
+
+def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
+                  temperature=1.0, gate_threshold=0.5, n_valid=None):
+    """Invert one flow step over sampled latents with a lax.scan.
+
+    Args:
+      residual: (N, B, n_mel) latent z (or previous flow's output).
+      text: (Tk, B, text+speaker) encoder outputs.
+      key_mask: (B, Tk) or None.
+      attn_prior: (B, N, Tk) or None.
+      n_valid: (B,) frames valid in `residual` (from a previous gated flow);
+        None means all N.
+
+    Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
+    """
+    N, B, n_mel = residual.shape
+    H = params["lstm"]["layers"][0]["w_hh"].shape[0]
+    n_layers = len(params["lstm"]["layers"])
+
+    k_proj, vals = attention_precompute(params["attention_layer"], text, text)
+    has_gate = "gate_layer" in params
+
+    att_layer_p = params["attention_lstm"]["layers"][0]
+    att_bias = att_layer_p["b_ih"] + att_layer_p["b_hh"]
+
+    def cell(carry, xs):
+        (h_att, c_att, hs, cs, prev_out) = carry
+        z_t, prior_t = xs
+
+        # attention LSTM cell on previous output frame
+        xp = jnp.dot(prev_out, att_layer_p["w_ih"],
+                     preferred_element_type=jnp.float32) + att_bias
+        h_att, c_att = lstm_cell(att_layer_p, xp, h_att, c_att)
+
+        context, attn_w = attention_step(
+            params["attention_layer"], h_att, k_proj, vals,
+            key_mask=key_mask, prior_t=prior_t, temperature=temperature)
+        decoder_input = jnp.concatenate([h_att, context], axis=-1)
+
+        gate = jnp.zeros((B,), residual.dtype)
+        if has_gate:
+            gate = jax.nn.sigmoid(
+                linear_apply(params["gate_layer"], decoder_input))[:, 0]
+
+        x = decoder_input
+        new_hs, new_cs = [], []
+        for li, layer_p in enumerate(params["lstm"]["layers"]):
+            xp_l = jnp.dot(x, layer_p["w_ih"],
+                           preferred_element_type=jnp.float32) \
+                + layer_p["b_ih"] + layer_p["b_hh"]
+            h_l, c_l = lstm_cell(layer_p, xp_l, hs[li], cs[li])
+            new_hs.append(h_l)
+            new_cs.append(c_l)
+            x = h_l
+
+        hidden = dense_layer_apply(params["dense_layer"], x)
+        decoder_output = linear_apply(params["conv"], hidden)
+        log_s = decoder_output[:, :n_mel]
+        b = decoder_output[:, n_mel:]
+        out = (z_t - b) * jnp.exp(-log_s)
+
+        new_carry = (h_att, c_att, tuple(new_hs), tuple(new_cs), out)
+        return new_carry, (out, attn_w, gate)
+
+    init = (
+        jnp.zeros((B, H), residual.dtype),
+        jnp.zeros((B, H), residual.dtype),
+        tuple(jnp.zeros((B, H), residual.dtype) for _ in range(n_layers)),
+        tuple(jnp.zeros((B, H), residual.dtype) for _ in range(n_layers)),
+        jnp.zeros((B, n_mel), residual.dtype),
+    )
+    prior_xs = (attn_prior.transpose(1, 0, 2) if attn_prior is not None
+                else jnp.zeros((N, B, 0), residual.dtype))
+    xs = (residual, prior_xs if attn_prior is not None else None)
+
+    _, (mel, attn_w, gates) = jax.lax.scan(cell, init, xs)
+
+    if has_gate:
+        # first frame whose gate fires ends the utterance (inclusive),
+        # mirroring the reference's break-after-append
+        # (reference:flowtron.py:823-825)
+        hit = gates > gate_threshold          # (N, B)
+        any_hit = jnp.any(hit, axis=0)
+        first = jnp.argmax(hit, axis=0)
+        n_valid_gate = jnp.where(any_hit, first + 1, N)
+        n_valid = n_valid_gate if n_valid is None else \
+            jnp.minimum(n_valid, n_valid_gate)
+    elif n_valid is None:
+        n_valid = jnp.full((B,), N, jnp.int32)
+
+    return mel, attn_w.transpose(1, 0, 2), n_valid
+
+
+def ar_back_step_infer(params, residual, text, key_mask=None,
+                       attn_prior=None, temperature=1.0, gate_threshold=0.5,
+                       n_valid=None):
+    """Backward flow inference: flip in, invert, flip back
+    (reference:flowtron.py:629-642)."""
+    N, B, _ = residual.shape
+    if n_valid is None:
+        n_valid = jnp.full((B,), N, jnp.int32)
+    residual_f = _flip_time(residual, n_valid)
+    prior_f = _flip_prior(attn_prior, n_valid) if attn_prior is not None \
+        else None
+    mel, attn_w, n_valid_out = ar_step_infer(
+        params, residual_f, text, key_mask, prior_f, temperature,
+        gate_threshold, n_valid=n_valid)
+    mel = _flip_time(mel, n_valid_out)
+    return mel, attn_w, n_valid_out

@@ -92,3 +92,36 @@ def attention_forward(params, queries, keys, values, key_mask=None,
 
     context = jnp.einsum("bqk,bkd->bqd", attn, vals)
     return context.transpose(0, 2, 1), attn, attn_logprob
+
+
+def attention_precompute(params, keys, values):
+    """Project keys/values once before an AR inference scan.
+
+    keys/values: (Tk, B, D_in) -> k_proj, vals each (B, Tk, D_att).
+    """
+    k = linear_apply(params["key"], keys).transpose(1, 0, 2)
+    vals = linear_apply(params["value"], values).transpose(1, 0, 2)
+    return k, vals
+
+
+def attention_step(params, query, k_proj, vals, key_mask=None,
+                   prior_t=None, temperature=1.0):
+    """Single-frame attention for the AR inference scan.
+
+    query: (B, n_query_dim); k_proj/vals: (B, Tk, D); prior_t: (B, Tk)|None.
+    Returns context (B, D), attn (B, Tk).
+    """
+    q = linear_apply(params["query"], query)  # (B, D)
+    v_w = params["v"]["w"][:, 0]
+    scores = jnp.einsum("bkd,d->bk", jnp.tanh(q[:, None, :] + k_proj), v_w)
+    scores = scores / temperature
+    if key_mask is not None:
+        scores = jnp.where(key_mask, scores, MASK_VALUE)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if prior_t is not None:
+        log_post = jnp.log(attn + 1e-20) + jnp.log(prior_t + 1e-20)
+        if key_mask is not None:
+            log_post = jnp.where(key_mask, log_post, MASK_VALUE)
+        attn = jax.nn.softmax(log_post, axis=-1)
+    context = jnp.einsum("bk,bkd->bd", attn, vals)
+    return context, attn
