@@ -109,6 +109,24 @@ class MelSpectrogram:
         mel = jnp.einsum("mf,bft->bmt", self.mel_basis, magnitudes)
         return jnp.log(jnp.clip(mel, min=self.clip_val))
 
+    def mel_numpy(self, audio):
+        """Host-side (numpy) log-mel for the data pipeline — identical math
+        without a device round-trip per utterance. audio: (T,) in [-1, 1].
+        Returns (n_mel, n_frames) float32.
+        """
+        window = np.asarray(self.window)
+        basis = np.asarray(self.mel_basis)
+        pad = self.filter_length // 2
+        x = np.pad(audio.astype(np.float64), pad, mode="reflect")
+        n_frames = len(audio) // self.hop_length + 1
+        stride = x.strides[0]
+        frames = np.lib.stride_tricks.as_strided(
+            x, (n_frames, self.filter_length),
+            (self.hop_length * stride, stride), writeable=False)
+        spec = np.abs(np.fft.rfft(frames * window[None, :], axis=-1))
+        mel = basis @ spec.T.astype(np.float32)
+        return np.log(np.clip(mel, self.clip_val, None)).astype(np.float32)
+
 
 def dynamic_range_compression(x, C=1, clip_val=1e-5):
     return jnp.log(jnp.clip(x, min=clip_val) * C)

@@ -1,0 +1,144 @@
+"""Data pipeline tests: prior vs scipy, dataset loading, collation."""
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+from scipy.stats import betabinom
+
+from flowtron_tpu.data import Data, DataCollate, BatchIterator
+from flowtron_tpu.data.prior import beta_binomial_prior
+
+
+class TestPrior:
+    def test_matches_scipy(self):
+        P, M, s = 7, 11, 1.0
+        ours = beta_binomial_prior(P, M, s)
+        x = np.arange(P)
+        for i in range(1, M + 1):
+            rv = betabinom(P - 1, s * i, s * (M + 1 - i))
+            np.testing.assert_allclose(ours[i - 1], rv.pmf(x), atol=1e-6)
+
+    def test_scaling_factor(self):
+        P, M = 5, 9
+        ours = beta_binomial_prior(P, M, 0.5)
+        rv = betabinom(P - 1, 0.5 * 3, 0.5 * (M + 1 - 3))
+        np.testing.assert_allclose(ours[2], rv.pmf(np.arange(P)), atol=1e-6)
+
+    def test_rows_sum_to_one(self):
+        prior = beta_binomial_prior(12, 40)
+        np.testing.assert_allclose(prior.sum(1), 1.0, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory, ):
+    """Three tiny synthetic wav files + filelist."""
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    lines = []
+    texts = ["The cat sat.", "A dog ran far away.", "Hello."]
+    sids = [3, 7, 3]
+    for i, (txt, sid) in enumerate(zip(texts, sids)):
+        n = int(22050 * (0.3 + 0.2 * i))
+        wav = (rng.standard_normal(n) * 3000).astype(np.int16)
+        path = root / f"utt{i}.wav"
+        wavfile.write(path, 22050, wav)
+        lines.append(f"{path}|{txt}|{sid}")
+    filelist = root / "files.txt"
+    filelist.write_text("\n".join(lines) + "\n")
+    return str(filelist)
+
+
+class TestDataset:
+    def test_getitem(self, tiny_corpus, mini_cmudict, mini_heteronyms):
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict,
+                  heteronyms_path=mini_heteronyms, p_arpabet=1.0,
+                  use_attn_prior=True, randomize=False)
+        mel, sid, text, prior = ds[0]
+        assert mel.shape[0] == 80
+        assert mel.dtype == np.float32
+        assert text.ndim == 1 and text.dtype == np.int64
+        assert prior.shape == (mel.shape[1], text.shape[0])
+        assert sid in (0, 1)  # dense remap of {3, 7}
+
+    def test_speaker_table_dense_sorted(self, tiny_corpus, mini_cmudict):
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict, randomize=False)
+        assert ds.speaker_ids == {3: 0, 7: 1}
+
+    def test_sr_mismatch_raises(self, tmp_path, mini_cmudict):
+        wav = (np.zeros(8000)).astype(np.int16)
+        p = tmp_path / "bad.wav"
+        wavfile.write(p, 16000, wav)
+        fl = tmp_path / "fl.txt"
+        fl.write_text(f"{p}|hi|0\n")
+        ds = Data(str(fl), cmudict_path=mini_cmudict, randomize=False)
+        with pytest.raises(ValueError, match="SR"):
+            ds[0]
+
+    def test_prior_cache(self, tiny_corpus, mini_cmudict, tmp_path):
+        cache = tmp_path / "prior_cache"
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict, p_arpabet=1.0,
+                  use_attn_prior=True, prior_cache_path=str(cache),
+                  randomize=False)
+        assert ds.caching_enabled
+        _, _, _, p1 = ds[0]
+        assert len(list(cache.iterdir())) == 1
+        _, _, _, p2 = ds[0]  # second read hits the cache
+        np.testing.assert_allclose(p1, p2)
+
+    def test_no_cache_when_parpabet_random(self, tiny_corpus, mini_cmudict,
+                                           tmp_path):
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict, p_arpabet=0.5,
+                  use_attn_prior=True,
+                  prior_cache_path=str(tmp_path / "c"), randomize=False)
+        assert not ds.caching_enabled
+
+
+class TestCollate:
+    def _fake_batch(self):
+        rng = np.random.default_rng(1)
+        batch = []
+        for T, Tk, sid in [(20, 5, 0), (14, 9, 1), (17, 3, 0)]:
+            mel = rng.standard_normal((80, T)).astype(np.float32)
+            text = rng.integers(1, 100, Tk)
+            prior = rng.uniform(0, 1, (T, Tk)).astype(np.float32)
+            batch.append((mel, sid, text, prior))
+        return batch
+
+    def test_shapes_and_sorting(self):
+        out = DataCollate(use_attn_prior=True)(self._fake_batch())
+        assert out["mel"].shape == (3, 80, 20)
+        assert out["text"].shape == (3, 9)
+        # sorted by text length desc: 9, 5, 3
+        np.testing.assert_array_equal(out["in_lens"], [9, 5, 3])
+        np.testing.assert_array_equal(out["out_lens"], [14, 20, 17])
+        assert out["attn_prior"].shape == (3, 20, 9)
+
+    def test_gate_targets(self):
+        out = DataCollate(use_attn_prior=False)(self._fake_batch())
+        # gate = 1 from last real frame onward (reference:data.py:235)
+        for b in range(3):
+            L = out["out_lens"][b]
+            assert (out["gate_target"][b, L - 1:] == 1).all()
+            assert (out["gate_target"][b, :L - 1] == 0).all()
+
+    def test_pad_to_multiple(self):
+        out = DataCollate(use_attn_prior=True,
+                          pad_to_multiple=16)(self._fake_batch())
+        assert out["mel"].shape[2] == 32
+        assert out["text"].shape[1] == 16
+        assert out["attn_prior"].shape == (3, 32, 16)
+
+    def test_batch_iterator(self):
+        class FakeDs:
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return (rng.standard_normal((80, 10 + i)).astype(np.float32),
+                        0, np.arange(1, 4 + i), None)
+
+        it = BatchIterator(FakeDs(), 2, DataCollate(), seed=0)
+        batches = list(it)
+        assert len(batches) == 3  # drop_last
+        assert all(b["mel"].shape[0] == 2 for b in batches)
