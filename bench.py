@@ -1,0 +1,71 @@
+"""Benchmark: AR mel-synthesis throughput on the flagship (LJS 2-flow,
+1024-hidden) model — the BASELINE.json north-star metric.
+
+Prints ONE JSON line:
+  {"metric": "mel_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 2870}
+
+Baseline anchor: RTF 0.03 on a v5e chip = 22050/256/0.03 ~= 2870 frames/s
+(see BASELINE.md). Runs on whatever the default JAX backend is (the real
+TPU under the driver; CPU if forced).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_FRAMES_PER_SEC = 22050.0 / 256.0 / 0.03  # ≈ 2871
+
+
+def main():
+    from flowtron_tpu.models import flowtron_init, flowtron_infer
+
+    B = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+    N = 400          # reference's default inference op point
+    Tk = 128
+
+    dims = dict(n_speakers=1, n_speaker_dim=128, n_text=185, n_text_dim=512,
+                n_mel_channels=80, n_hidden=1024, n_attn_channels=640,
+                n_lstm_layers=2, mel_encoder_n_hidden=512)
+    params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                use_gate_layer=True, **dims)
+
+    rng = np.random.default_rng(0)
+    residual = jnp.asarray(
+        (rng.standard_normal((B, 80, N)) * 0.5).astype(np.float32))
+    text = jnp.asarray(rng.integers(1, 185, (B, Tk)))
+    sids = jnp.zeros((B,), jnp.int32)
+
+    infer = jax.jit(lambda p, r, s, t: flowtron_infer(
+        p, cfg, r, s, t, gate_threshold=1e6))
+
+    # warmup / compile. NOTE: under the axon tunnel block_until_ready does
+    # not wait for remote completion — fetch a scalar to force real sync.
+    mel, attns, n_valid = infer(params, residual, sids, text)
+    float(mel.sum())
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mel, attns, n_valid = infer(params, residual, sids, text)
+        float(mel.sum())
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    frames_per_sec = B * N / dt
+    print(json.dumps({
+        "metric": "mel_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+        "detail": {"batch": B, "n_frames": N, "seconds": round(dt, 4),
+                   "backend": jax.default_backend(),
+                   "rtf_single_stream": round(dt / (N * 256 / 22050), 4)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

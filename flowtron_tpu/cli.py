@@ -6,8 +6,18 @@ dotted overrides.
 """
 
 import argparse
+import os
 
 from flowtron_tpu.config import load_config
+
+
+def _apply_platform_override():
+    """Honor FLOWTRON_PLATFORM=cpu|tpu even where a site hook pins
+    JAX_PLATFORMS (this container's axon hook overrides the plain env)."""
+    platform = os.environ.get("FLOWTRON_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
 
 def train_main(argv=None):
@@ -18,6 +28,7 @@ def train_main(argv=None):
                         help="dotted-path overrides: a.b.c=value")
     args = parser.parse_args(argv)
 
+    _apply_platform_override()
     config = load_config(args.config, args.params)
     from flowtron_tpu.train.loop import train
     train(config)
@@ -41,6 +52,7 @@ def inference_main(argv=None):
     parser.add_argument("--seed", type=int, default=1234)
     args = parser.parse_args(argv)
 
+    _apply_platform_override()
     config = load_config(args.config, args.params)
     from flowtron_tpu.infer.sampling import run_inference
     run_inference(config, args)

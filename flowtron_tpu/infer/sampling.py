@@ -1,0 +1,129 @@
+"""Inference: text -> mel (-> wav) matching reference:inference.py:40-90.
+
+Loads a checkpoint (native or torch-format), phonemizes text through the
+Data frontend, samples z ~ N(0, sigma^2), inverts the flows, writes
+mel/attention PNGs, and vocodes (WaveGlow-style vocoder when a checkpoint
+is given, Griffin-Lim mel-inversion fallback otherwise).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models import flowtron_init, flowtron_infer
+from flowtron_tpu.train.checkpoints import load_checkpoint, warmstart
+from flowtron_tpu.data import Data
+
+
+def load_model_for_inference(config, checkpoint_path):
+    model_config = dict(config["model_config"])
+    params, static_cfg = flowtron_init(jax.random.PRNGKey(0), **model_config)
+    if checkpoint_path.endswith((".pt", ".pth")):
+        params = warmstart(checkpoint_path, params)  # torch bridge
+    else:
+        params, _, _, _ = load_checkpoint(checkpoint_path, params)
+    return params, static_cfg
+
+
+def synthesize(params, static_cfg, text_ids, speaker_id, n_frames=400,
+               sigma=0.5, gate_threshold=0.5, seed=1234):
+    """text ids (list[int]) -> (mel (80, n_valid), attns, n_valid)."""
+    key = jax.random.PRNGKey(seed)
+    n_mel = static_cfg["n_mel_channels"]
+    residual = jax.random.normal(key, (1, n_mel, n_frames)) * sigma
+    text = jnp.asarray(np.asarray(text_ids)[None])
+    sid = jnp.asarray([speaker_id])
+    mel, attns, n_valid = flowtron_infer(
+        params, static_cfg, residual, sid, text,
+        gate_threshold=gate_threshold)
+    n = int(n_valid[0])
+    return np.asarray(mel)[0, :, :n], [np.asarray(a)[0, :n] for a in attns], n
+
+
+def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
+    """Fallback vocoder: invert the mel filterbank (NNLS-lite: pinv +
+    clamp) then Griffin-Lim phase recovery."""
+    from flowtron_tpu.audio import MelSpectrogram
+    from flowtron_tpu.audio.stft import _frame_signal
+    from flowtron_tpu.audio.griffin_lim import InverseSTFT, griffin_lim
+
+    ms = MelSpectrogram(
+        filter_length=data_config["filter_length"],
+        hop_length=data_config["hop_length"],
+        win_length=data_config["win_length"],
+        sampling_rate=data_config["sampling_rate"],
+        mel_fmin=data_config["mel_fmin"], mel_fmax=data_config["mel_fmax"])
+    basis = np.asarray(ms.mel_basis)
+    mag_est = np.clip(np.linalg.pinv(basis) @ np.exp(np.asarray(mel)), 0, None)
+
+    ist = InverseSTFT(data_config["filter_length"],
+                      data_config["hop_length"], data_config["win_length"])
+
+    def fwd(sig):
+        fr = _frame_signal(sig, data_config["filter_length"],
+                           data_config["hop_length"])
+        return jnp.fft.rfft(fr * ms.window[None, None, :],
+                            axis=-1).swapaxes(1, 2)
+
+    audio = griffin_lim(jnp.asarray(mag_est[None]), fwd, ist,
+                        n_iters=n_iters, key=jax.random.PRNGKey(seed))
+    return np.asarray(audio)[0]
+
+
+def run_inference(config, args):
+    """CLI entry (reference:inference.py:93-132 contract)."""
+    data_config = dict(config["data_config"])
+    params, static_cfg = load_model_for_inference(config, args.flowtron_path)
+
+    ignore_keys = ("training_files", "validation_files")
+    dataset = Data(
+        data_config["training_files"],
+        **{k: v for k, v in data_config.items() if k not in ignore_keys})
+    text_ids = dataset.get_text(args.text)
+    speaker_id = dataset.get_speaker_id(args.id)
+
+    mel, attns, n_valid = synthesize(
+        params, static_cfg, text_ids, int(speaker_id),
+        n_frames=args.n_frames, sigma=args.sigma,
+        gate_threshold=args.gate, seed=args.seed)
+    print(f"synthesized {n_valid} mel frames "
+          f"({n_valid * data_config['hop_length'] / data_config['sampling_rate']:.2f}s)")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    base = os.path.join(
+        args.output_dir,
+        f"sid{args.id}_sigma{args.sigma}_seed{args.seed}")
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1 + len(attns), 1, figsize=(8, 3 * (1 + len(attns))))
+    axes = np.atleast_1d(axes)
+    axes[0].imshow(mel, aspect="auto", origin="lower", interpolation="none")
+    axes[0].set_title("mel")
+    for i, a in enumerate(attns):
+        axes[1 + i].imshow(a.T, aspect="auto", origin="lower",
+                           interpolation="none")
+        axes[1 + i].set_title(f"attention flow {i}")
+    fig.tight_layout()
+    fig.savefig(base + ".png")
+    plt.close(fig)
+
+    if args.waveglow_path:
+        from flowtron_tpu.vocoder import load_waveglow, waveglow_infer
+        wg_params, wg_cfg = load_waveglow(args.waveglow_path)
+        audio = waveglow_infer(wg_params, wg_cfg, jnp.asarray(mel[None]),
+                               sigma=0.8)
+        audio = np.asarray(audio)[0]
+    else:
+        print("no vocoder checkpoint; using Griffin-Lim fallback")
+        audio = mel_to_audio_griffinlim(mel, data_config)
+
+    audio = audio / max(1e-8, np.abs(audio).max())
+    from scipy.io import wavfile
+    wavfile.write(base + ".wav", data_config["sampling_rate"],
+                  (audio * 32767).astype(np.int16))
+    print("wrote", base + ".wav")
+    return base

@@ -122,7 +122,8 @@ def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
             params["mel_encoder"], mel, sequence_mask(out_lens, T),
             train=train, dropout_key=dk_mel)
         mean, log_var, prob = gaussian_mixture_forward(
-            params["gaussian_mixture"], mel_embedding)
+            params["gaussian_mixture"], mel_embedding,
+            config["n_components"], config["n_mel_channels"])
 
     z = mel.transpose(2, 0, 1)  # (T, B, n_mel)
     log_s_list, attn_list, attn_logprob_list = [], [], []

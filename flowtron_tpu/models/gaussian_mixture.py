@@ -18,9 +18,6 @@ def gaussian_mixture_params(key, n_hidden, n_components, n_mel_channels,
     p = {
         "prob_layer": linear_params(k_prob, n_hidden, n_components,
                                     dtype=dtype),
-        "n_components": n_components,
-        "n_mel_channels": n_mel_channels,
-        "fixed_gaussian": fixed_gaussian,
     }
     if not fixed_gaussian:
         p["mean_layer"] = linear_params(
@@ -36,19 +33,20 @@ def gaussian_mixture_params(key, n_hidden, n_components, n_mel_channels,
     return p
 
 
-def gaussian_mixture_forward(params, outputs):
+def gaussian_mixture_forward(params, outputs, n_components, n_mel_channels):
     """outputs: (B, n_hidden) mel-encoder embedding.
 
     Returns (mean, log_var, prob): mean/log_var are (1 or B, mel, K),
-    prob is (B, K).
+    prob is (B, K). Fixed-gaussian mode is detected by the presence of the
+    'mean' buffer (non-trainable — excluded from the optimizer by
+    trainable_mask in train/checkpoints.py).
     """
     bs = outputs.shape[0]
     prob = jax.nn.softmax(linear_apply(params["prob_layer"], outputs), axis=1)
-    if not params["fixed_gaussian"]:
-        K = params["n_components"]
-        M = params["n_mel_channels"]
+    if "mean" in params:
+        mean, log_var = params["mean"], params["log_var"]
+    else:
+        K, M = n_components, n_mel_channels
         mean = linear_apply(params["mean_layer"], outputs).reshape(bs, M, K)
         log_var = linear_apply(params["log_var_layer"], outputs).reshape(bs, M, K)
-    else:
-        mean, log_var = params["mean"], params["log_var"]
     return mean, log_var, prob

@@ -50,7 +50,7 @@ def conv1d_params(key, in_channels, out_channels, kernel_size=1, bias=True,
     """'Same'-padded 1-D conv; weight (out, in, k), torch layout."""
     w = xavier_uniform(key, (out_channels, in_channels, kernel_size),
                        _GAINS[w_init_gain], dtype)
-    p = {"w": w, "kernel_size": kernel_size}
+    p = {"w": w}
     if bias:
         p["b"] = jnp.zeros((out_channels,), dtype)
     return p

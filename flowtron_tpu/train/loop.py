@@ -1,0 +1,241 @@
+"""Training loop: jit-compiled DP train step, validation, checkpointing.
+
+Replaces reference:train.py:205-377. Differences by design:
+- one process drives the whole mesh (no per-GPU processes / NCCL
+  rendezvous); gradients are averaged by XLA-inserted collectives
+- bf16-on-TPU replaces AMP GradScaler (fp16_run selects the policy);
+  loss/statistics accumulate in fp32
+- collate pads to shape buckets so jit reuses a small set of programs
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from flowtron_tpu.models import flowtron_init, flowtron_forward
+from flowtron_tpu.train.loss import flowtron_loss
+from flowtron_tpu.train.radam import build_optimizer
+from flowtron_tpu.train.checkpoints import (
+    save_checkpoint, load_checkpoint, warmstart, trainable_mask,
+)
+from flowtron_tpu.data import Data, DataCollate, BatchIterator
+from flowtron_tpu.parallel.mesh import (
+    make_mesh, replicated, data_sharded,
+)
+
+
+def make_train_step(model_config_static, mesh, optimizer, train_config):
+    """Build the jitted DP training step."""
+    sigma = train_config["sigma"]
+    gm_loss = bool(model_config_static["n_components"])
+    gate_loss = bool(train_config.get("gate_loss", True))
+    use_ctc = bool(train_config.get("use_ctc_loss", False))
+    blank_logprob = float(train_config.get("blank_logprob", -1))
+
+    def step(params, opt_state, batch, dropout_key, ctc_weight):
+        def loss_fn(p):
+            out = flowtron_forward(
+                p, model_config_static, batch["mel"], batch["speaker_ids"],
+                batch["text"], batch["in_lens"], batch["out_lens"],
+                attn_prior=batch.get("attn_prior"), train=True,
+                dropout_key=dropout_key)
+            nll, gate, ctc = flowtron_loss(
+                out, batch["gate_target"], batch["in_lens"],
+                batch["out_lens"], sigma=sigma, gm_loss=gm_loss,
+                gate_loss=gate_loss, use_ctc_loss=use_ctc,
+                blank_logprob=blank_logprob)
+            total = nll + gate + ctc * ctc_weight
+            return total, (nll, gate, ctc)
+
+        (loss, (nll, gate, ctc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, "nll": nll, "gate": gate, "ctc": ctc}
+        return params, opt_state, metrics
+
+    repl = replicated(mesh)
+    bshard = data_sharded(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bshard, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_eval_step(model_config_static, mesh, train_config):
+    sigma = train_config["sigma"]
+    gm_loss = bool(model_config_static["n_components"])
+    gate_loss = bool(train_config.get("gate_loss", True))
+    use_ctc = bool(train_config.get("use_ctc_loss", False))
+    blank_logprob = float(train_config.get("blank_logprob", -1))
+
+    def step(params, batch):
+        out = flowtron_forward(
+            params, model_config_static, batch["mel"], batch["speaker_ids"],
+            batch["text"], batch["in_lens"], batch["out_lens"],
+            attn_prior=batch.get("attn_prior"), train=False)
+        nll, gate, ctc = flowtron_loss(
+            out, batch["gate_target"], batch["in_lens"], batch["out_lens"],
+            sigma=sigma, gm_loss=gm_loss, gate_loss=gate_loss,
+            use_ctc_loss=use_ctc, blank_logprob=blank_logprob)
+        # last flow's attention + gate predictions for plotting
+        attn = out[3][-1]
+        gate_pred = out[2]
+        return {"nll": nll, "gate": gate, "ctc": ctc,
+                "attn": attn, "gate_pred": gate_pred}
+
+    repl = replicated(mesh)
+    bshard = data_sharded(mesh)
+    return jax.jit(step, in_shardings=(repl, bshard),
+                   out_shardings=None)
+
+
+def prepare_dataloaders(data_config, batch_size, seed=1234,
+                        pad_to_multiple=32):
+    ignore_keys = ("training_files", "validation_files")
+    kwargs = {k: v for k, v in data_config.items() if k not in ignore_keys}
+    trainset = Data(data_config["training_files"], **kwargs)
+    valset = Data(data_config["validation_files"], **kwargs,
+                  speaker_ids=trainset.speaker_ids)
+    collate = DataCollate(use_attn_prior=trainset.use_attn_prior,
+                          pad_to_multiple=pad_to_multiple)
+    train_loader = BatchIterator(trainset, batch_size, collate,
+                                 shuffle=True, seed=seed)
+    val_loader = BatchIterator(valset, batch_size, collate, shuffle=False,
+                               seed=seed, drop_last=False)
+    return train_loader, val_loader
+
+
+def _device_batch(batch, mesh):
+    """Drop None entries and place on the mesh."""
+    clean = {k: v for k, v in batch.items() if v is not None}
+    sharding = data_sharded(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in clean.items()}
+
+
+def compute_validation_loss(eval_step, params, val_loader, mesh,
+                            ctc_weight):
+    totals = {"nll": 0.0, "gate": 0.0, "ctc": 0.0}
+    n = 0
+    last = None
+    for batch in val_loader:
+        out = eval_step(params, _device_batch(batch, mesh))
+        for k in totals:
+            totals[k] += float(out[k])
+        n += 1
+        last = out
+    if n == 0:
+        return {"loss": 0.0, **totals}, None
+    for k in totals:
+        totals[k] /= n
+    loss = totals["nll"] + totals["gate"] + totals["ctc"] * ctc_weight
+    return {"loss": loss, **totals}, last
+
+
+def train(config):
+    """Main entry: config dict with train/data/dist/model sections."""
+    train_config = config["train_config"]
+    data_config = dict(config["data_config"])
+    dist_config = config.get("dist_config", {})
+    model_config = dict(config["model_config"])
+
+    seed = int(train_config.get("seed", 1234))
+    key = jax.random.PRNGKey(seed)
+    init_key, dropout_key = jax.random.split(key)
+
+    mesh = make_mesh(tuple(dist_config.get("mesh_shape", (-1,))),
+                     tuple(dist_config.get("mesh_axis_names", ("data",))))
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = int(train_config["batch_size"]) * n_dev
+    print(f"mesh: {mesh.devices.shape} {mesh.axis_names}; "
+          f"global batch {batch_size}")
+
+    params, static_cfg = flowtron_init(init_key, **model_config)
+
+    mask = trainable_mask(params, train_config.get("finetune_layers", ()))
+    base_opt = build_optimizer(
+        train_config.get("optim_algo", "RAdam"),
+        float(train_config["learning_rate"]),
+        float(train_config.get("weight_decay", 0.0)),
+        float(train_config.get("grad_clip_val", 0.0)))
+    import optax as _optax
+    optimizer = _optax.masked(base_opt, mask)
+
+    iteration = 0
+    opt_state = optimizer.init(params)
+    if train_config.get("warmstart_checkpoint_path"):
+        params = warmstart(train_config["warmstart_checkpoint_path"], params,
+                           train_config.get("include_layers") or None)
+    if train_config.get("checkpoint_path"):
+        params, opt_state_r, iteration, _ = load_checkpoint(
+            train_config["checkpoint_path"], params, opt_state,
+            train_config.get("ignore_layers", ()))
+        if opt_state_r is not None:
+            opt_state = opt_state_r
+        iteration += 1
+
+    train_step = make_train_step(static_cfg, mesh, optimizer, train_config)
+    eval_step = make_eval_step(static_cfg, mesh, train_config)
+
+    train_loader, val_loader = prepare_dataloaders(
+        data_config, batch_size, seed=seed)
+
+    output_directory = train_config.get("output_directory", "outdir")
+    os.makedirs(output_directory, exist_ok=True)
+
+    logger = None
+    if train_config.get("with_tensorboard"):
+        from flowtron_tpu.train.logger import FlowtronLogger
+        logger = FlowtronLogger(os.path.join(output_directory, "logs"))
+
+    use_ctc = bool(train_config.get("use_ctc_loss", False))
+    ctc_start = int(train_config.get("ctc_loss_start_iter", 0))
+    ctc_w = float(train_config.get("ctc_loss_weight", 0.0))
+    iters_per_checkpoint = int(train_config.get("iters_per_checkpoint", 1000))
+    epochs = int(train_config.get("epochs", 1))
+
+    epoch_offset = max(0, iteration // max(1, len(train_loader)))
+    t_last = time.time()
+    for epoch in range(epoch_offset, epochs):
+        print(f"Epoch: {epoch}")
+        for batch in train_loader:
+            ctc_weight = jnp.asarray(
+                ctc_w if (use_ctc and iteration >= ctc_start) else 0.0,
+                jnp.float32)
+            step_key = jax.random.fold_in(dropout_key, iteration)
+            params, opt_state, metrics = train_step(
+                params, opt_state, _device_batch(batch, mesh), step_key,
+                ctc_weight)
+
+            loss = float(metrics["loss"])
+            now = time.time()
+            print(f"{iteration}:\t{loss:.9f}\t({now - t_last:.2f}s)",
+                  flush=True)
+            t_last = now
+            if logger is not None:
+                logger.log_training(
+                    loss, float(metrics["gate"]), float(metrics["nll"]),
+                    float(metrics["ctc"]),
+                    float(train_config["learning_rate"]), iteration)
+
+            if iteration % iters_per_checkpoint == 0:
+                val, last = compute_validation_loss(
+                    eval_step, params, val_loader, mesh, float(ctc_weight))
+                print(f"Validation loss {iteration}: {val['loss']:9f}")
+                if logger is not None:
+                    logger.log_validation(
+                        val["loss"], val["nll"], val["gate"], val["ctc"],
+                        last, iteration)
+                ckpt = os.path.join(output_directory, f"model_{iteration}")
+                save_checkpoint(ckpt, params, opt_state, iteration,
+                                float(train_config["learning_rate"]),
+                                config)
+            iteration += 1
+
+    return params, opt_state, iteration

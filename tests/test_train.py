@@ -1,0 +1,115 @@
+"""Training integration: loss decreases on synthetic data; data-parallel
+sharding on an 8-device mesh gives the same result as a single device —
+the multi-chip-without-a-cluster test the reference never had."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models import flowtron_init
+from flowtron_tpu.train.radam import build_optimizer
+from flowtron_tpu.train.checkpoints import trainable_mask
+from flowtron_tpu.train.loop import make_train_step
+from flowtron_tpu.parallel.mesh import make_mesh, data_sharded
+import optax
+
+SMALL = dict(n_speakers=2, n_speaker_dim=4, n_text=185, n_text_dim=16,
+             n_mel_channels=8, n_hidden=16, n_attn_channels=8,
+             n_lstm_layers=2, mel_encoder_n_hidden=8)
+
+TRAIN_CFG = {"sigma": 1.0, "gate_loss": True, "use_ctc_loss": True,
+             "blank_logprob": -8, "learning_rate": 5e-3,
+             "weight_decay": 1e-6, "grad_clip_val": 1.0,
+             "optim_algo": "RAdam"}
+
+
+def synthetic_batch(B=8, T=16, Tk=6, M=8, seed=0):
+    rng = np.random.default_rng(seed)
+    out_lens = rng.integers(T - 4, T + 1, B)
+    in_lens = rng.integers(Tk - 2, Tk + 1, B)
+    mel = rng.standard_normal((B, M, T)).astype(np.float32)
+    for b in range(B):
+        mel[b, :, out_lens[b]:] = 0
+    text = rng.integers(1, 185, (B, Tk))
+    for b in range(B):
+        text[b, in_lens[b]:] = 0
+    gate = np.zeros((B, T), np.float32)
+    for b in range(B):
+        gate[b, out_lens[b] - 1:] = 1
+    prior = rng.uniform(0.05, 1.0, (B, T, Tk)).astype(np.float32)
+    prior /= prior.sum(-1, keepdims=True)
+    return {
+        "mel": mel, "speaker_ids": rng.integers(0, 2, B),
+        "text": text, "in_lens": in_lens, "out_lens": out_lens,
+        "gate_target": gate, "attn_prior": prior,
+    }
+
+
+def _setup(mesh):
+    params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                use_gate_layer=True, **SMALL)
+    opt = optax.masked(
+        build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
+                        TRAIN_CFG["weight_decay"],
+                        TRAIN_CFG["grad_clip_val"]),
+        trainable_mask(params))
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, mesh, opt, TRAIN_CFG)
+    return params, opt_state, step
+
+
+def _run(mesh, n_steps=12, seed=0):
+    params, opt_state, step = _setup(mesh)
+    shard = data_sharded(mesh)
+    batch = synthetic_batch(seed=seed)
+    batch = {k: jax.device_put(v, shard) for k, v in batch.items()}
+    losses = []
+    key = jax.random.PRNGKey(5)
+    for i in range(n_steps):
+        params, opt_state, metrics = step(
+            params, opt_state, batch, jax.random.fold_in(key, i),
+            jnp.asarray(0.01))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+class TestTraining:
+    def test_loss_decreases(self):
+        mesh = make_mesh((1,))
+        losses = _run(mesh, n_steps=12)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_dp_matches_single_device(self):
+        """Same seeds: 8-way data parallel == single device (determinism +
+        correct gradient averaging via GSPMD)."""
+        losses_1 = _run(make_mesh((1,)), n_steps=4)
+        losses_8 = _run(make_mesh((8,)), n_steps=4)
+        np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3)
+
+    def test_gradients_finite(self):
+        from flowtron_tpu.models import flowtron_forward
+        from flowtron_tpu.train.loss import flowtron_loss
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, **SMALL)
+        batch = synthetic_batch()
+
+        def loss_fn(p):
+            out = flowtron_forward(
+                p, cfg, jnp.asarray(batch["mel"]),
+                jnp.asarray(batch["speaker_ids"]), jnp.asarray(batch["text"]),
+                jnp.asarray(batch["in_lens"]), jnp.asarray(batch["out_lens"]),
+                attn_prior=jnp.asarray(batch["attn_prior"]))
+            nll, gate, ctc = flowtron_loss(
+                out, jnp.asarray(batch["gate_target"]),
+                jnp.asarray(batch["in_lens"]), jnp.asarray(batch["out_lens"]),
+                use_ctc_loss=True, blank_logprob=-8)
+            return nll + gate + 0.01 * ctc
+
+        grads = jax.grad(loss_fn)(params)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        # zero-init coupling conv still receives gradient
+        g_conv = np.asarray(grads["flows"][0]["conv"]["w"])
+        assert np.abs(g_conv).max() > 0
