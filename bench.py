@@ -11,11 +11,17 @@ TPU under the driver; CPU if forced).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# first compile over the axon tunnel is ~8 min; persist it across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FRAMES_PER_SEC = 22050.0 / 256.0 / 0.03  # ≈ 2871
 

@@ -1,3 +1,5 @@
-# WaveGlow-style flow vocoder (mel -> waveform); see waveglow.py (added in
-# a later milestone). load_waveglow / waveglow_infer are re-exported here
-# once available.
+from flowtron_tpu.vocoder.waveglow import (  # noqa: F401
+    waveglow_init, waveglow_forward, waveglow_infer, waveglow_loss,
+    load_waveglow, import_waveglow_torch,
+)
+
