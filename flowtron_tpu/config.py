@@ -55,6 +55,8 @@ DEFAULT_CONFIG = {
         "prior_cache_path": "",
         "betab_scaling_factor": 1.0,
         "keep_ambiguous": False,
+        "mel_cache_path": "",
+        "use_native": False,
     },
     "dist_config": {
         # TPU-native: data-parallel mesh axes instead of NCCL rendezvous.

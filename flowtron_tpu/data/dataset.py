@@ -48,7 +48,8 @@ class Data:
                  speaker_ids=None, use_attn_prior=False,
                  attn_prior_threshold=1e-4, prior_cache_path="",
                  betab_scaling_factor=1.0, randomize=True,
-                 keep_ambiguous=False, seed=1234):
+                 keep_ambiguous=False, seed=1234, mel_cache_path="",
+                 use_native=False):
         self.max_wav_value = max_wav_value
         self.audiopaths_and_text = load_filepaths_and_text(filelist_path)
         self.use_attn_prior = use_attn_prior
@@ -79,6 +80,26 @@ class Data:
         self.caching_enabled = bool(prior_cache_path) and p_arpabet == 1.0
         if self.caching_enabled and not os.path.exists(prior_cache_path):
             os.makedirs(prior_cache_path)
+
+        # optional mel disk cache (mels are deterministic per wav)
+        self.mel_cache_path = mel_cache_path
+        if mel_cache_path and not os.path.exists(mel_cache_path):
+            os.makedirs(mel_cache_path)
+
+        # optional native (C++) wav decode + mel path; falls back silently
+        self._native_mel = None
+        self._native_decode = None
+        if use_native:
+            try:
+                from flowtron_tpu import native
+                if native.available() or native.build():
+                    self._native_mel = native.NativeMel(
+                        np.asarray(self.stft.window),
+                        np.asarray(self.stft.mel_basis),
+                        filter_length, hop_length)
+                    self._native_decode = native.decode_wav
+            except Exception as e:  # pragma: no cover
+                print(f"native data path unavailable ({e}); using numpy")
 
         self._rand = random.Random(seed)
         if randomize:
@@ -118,7 +139,20 @@ class Data:
     def get_mel(self, audio):
         """audio: float32 waveform in integer scale -> (80, T) log-mel."""
         audio_norm = audio / self.max_wav_value
+        if self._native_mel is not None:
+            return self._native_mel(audio_norm)
         return self.stft.mel_numpy(audio_norm)
+
+    def _load_mel_cached(self, audiopath, audio):
+        if not self.mel_cache_path:
+            return self.get_mel(audio)
+        fname = audiopath.replace("/", "_").replace("\\", "_") + ".npy"
+        path = os.path.join(self.mel_cache_path, fname)
+        if os.path.exists(path):
+            return np.load(path)
+        mel = self.get_mel(audio)
+        np.save(path, mel)
+        return mel
 
     def get_speaker_id(self, speaker_id):
         return np.int64(self.speaker_ids[int(speaker_id)])
@@ -138,12 +172,15 @@ class Data:
 
     def __getitem__(self, index):
         audiopath, text, speaker_id = self.audiopaths_and_text[index]
-        audio, sampling_rate = load_wav(audiopath)
+        if self._native_decode is not None:
+            audio, sampling_rate = self._native_decode(audiopath)
+        else:
+            audio, sampling_rate = load_wav(audiopath)
         if sampling_rate != self.sampling_rate:
             raise ValueError(f"{sampling_rate} SR doesn't match target "
                              f"{self.sampling_rate} SR")
 
-        mel = self.get_mel(audio)
+        mel = self._load_mel_cached(audiopath, audio)
         text_encoded = self.get_text(text)
         speaker_id = self.get_speaker_id(speaker_id)
         attn_prior = None

@@ -24,6 +24,7 @@ from flowtron_tpu.models.layers import (
 )
 from flowtron_tpu.models.attention import (
     attention_params, attention_forward, attention_precompute, attention_step,
+    attention_conditioning_params, attention_conditioning_apply,
 )
 from flowtron_tpu.ops.lstm import lstm_params, lstm_forward, lstm_cell
 from flowtron_tpu.utils.masks import flip_within_length_indices
@@ -31,7 +32,8 @@ from flowtron_tpu.utils.masks import flip_within_length_indices
 
 def ar_step_params(key, n_mel_channels=80, n_speaker_dim=128,
                    n_text_channels=512, n_hidden=1024, n_attn_channels=640,
-                   n_lstm_layers=2, add_gate=False, dtype=jnp.float32):
+                   n_lstm_layers=2, add_gate=False, use_cumm_attention=False,
+                   dtype=jnp.float32):
     keys = jax.random.split(key, 6)
     p = {
         # zero-init coupling head: every flow starts as the identity
@@ -54,7 +56,45 @@ def ar_step_params(key, n_mel_channels=80, n_speaker_dim=128,
         p["gate_layer"] = linear_params(
             keys[4], n_hidden + n_attn_channels, 1, bias=True,
             w_init_gain="sigmoid", dtype=dtype)
+    if use_cumm_attention:
+        p["attn_cond_layer"] = attention_conditioning_params(
+            keys[5], input_dim=2,
+            attention_dim=n_text_channels + n_speaker_dim, dtype=dtype)
     return p
+
+
+def _cumm_attention_scan(params, attention_hidden, text, key_mask,
+                         temperature=1.0):
+    """Sequential cumulative-attention pass (training, teacher-forced).
+
+    Mirrors reference:flowtron.py:697-723: per frame, a conv over
+    (cumulative attn, previous attn) gates the text keys; key projections
+    are recomputed per step. Expressed as a lax.scan over time.
+    Note: matching the reference, the attention prior is NOT applied on
+    this path (its train call passes no prior).
+    """
+    Tk, B, Din = text.shape
+    text_b = text.transpose(1, 0, 2)                    # (B, Tk, Din)
+    vals = linear_apply(params["attention_layer"]["value"],
+                        text_b)                         # (B, Tk, Datt)
+
+    def step(carry, q_t):
+        attn_cumm, attn_prev = carry
+        attn_cat = jnp.stack([attn_cumm, attn_prev], axis=1)  # (B, 2, Tk)
+        cond = attention_conditioning_apply(
+            params["attn_cond_layer"], attn_cat)              # (B, Din, Tk)
+        gated = text_b * cond.transpose(0, 2, 1)
+        k_proj = linear_apply(params["attention_layer"]["key"], gated)
+        context, attn_w = attention_step(
+            params["attention_layer"], q_t, k_proj, vals,
+            key_mask=key_mask, temperature=temperature)
+        return (attn_cumm + attn_w, attn_w), (context, attn_w)
+
+    init = (jnp.zeros((B, Tk), text.dtype), jnp.zeros((B, Tk), text.dtype))
+    _, (contexts, attns) = jax.lax.scan(step, init, attention_hidden)
+    attns = attns.transpose(1, 0, 2)                    # (B, T, Tk)
+    logprob = jnp.log(attns.astype(jnp.float32) + 1e-8)
+    return contexts, attns, logprob
 
 
 def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
@@ -75,11 +115,16 @@ def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
 
     attention_hidden, _ = lstm_forward(params["attention_lstm"], mel0,
                                        out_mask)
-    context, attn, attn_logprob = attention_forward(
-        params["attention_layer"], attention_hidden, text, text,
-        key_mask=key_mask, attn_prior=attn_prior)
-    # context: (B, D, T) -> (T, B, D)
-    context = context.transpose(2, 0, 1)
+    if "attn_cond_layer" in params:
+        context, attn, attn_logprob = _cumm_attention_scan(
+            params, attention_hidden, text, key_mask)
+        # contexts already (T, B, D)
+    else:
+        context, attn, attn_logprob = attention_forward(
+            params["attention_layer"], attention_hidden, text, text,
+            key_mask=key_mask, attn_prior=attn_prior)
+        # context: (B, D, T) -> (T, B, D)
+        context = context.transpose(2, 0, 1)
     decoder_input = jnp.concatenate([attention_hidden, context], axis=-1)
 
     gates = None
@@ -152,22 +197,36 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
 
     k_proj, vals = attention_precompute(params["attention_layer"], text, text)
     has_gate = "gate_layer" in params
+    has_cumm = "attn_cond_layer" in params
+    Tk = text.shape[0]
+    text_b = text.transpose(1, 0, 2)
 
     att_layer_p = params["attention_lstm"]["layers"][0]
     att_bias = att_layer_p["b_ih"] + att_layer_p["b_hh"]
 
     def cell(carry, xs):
-        (h_att, c_att, hs, cs, prev_out) = carry
+        (h_att, c_att, hs, cs, prev_out, attn_cumm, attn_prev) = carry
         z_t, prior_t = xs
 
         # attention LSTM cell on previous output frame
         xp = jnp.dot(prev_out, att_layer_p["w_ih"],
-                     preferred_element_type=jnp.float32) + att_bias
+                     preferred_element_type=jnp.float32
+                     ).astype(prev_out.dtype) + att_bias
         h_att, c_att = lstm_cell(att_layer_p, xp, h_att, c_att)
 
+        if has_cumm:
+            attn_cat = jnp.stack([attn_cumm, attn_prev], axis=1)
+            cond = attention_conditioning_apply(
+                params["attn_cond_layer"], attn_cat)
+            gated = text_b * cond.transpose(0, 2, 1)
+            k_proj_t = linear_apply(params["attention_layer"]["key"], gated)
+        else:
+            k_proj_t = k_proj
+
         context, attn_w = attention_step(
-            params["attention_layer"], h_att, k_proj, vals,
+            params["attention_layer"], h_att, k_proj_t, vals,
             key_mask=key_mask, prior_t=prior_t, temperature=temperature)
+        attn_cumm = attn_cumm + attn_w
         decoder_input = jnp.concatenate([h_att, context], axis=-1)
 
         gate = jnp.zeros((B,), residual.dtype)
@@ -179,7 +238,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         new_hs, new_cs = [], []
         for li, layer_p in enumerate(params["lstm"]["layers"]):
             xp_l = jnp.dot(x, layer_p["w_ih"],
-                           preferred_element_type=jnp.float32) \
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype) \
                 + layer_p["b_ih"] + layer_p["b_hh"]
             h_l, c_l = lstm_cell(layer_p, xp_l, hs[li], cs[li])
             new_hs.append(h_l)
@@ -192,7 +252,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         b = decoder_output[:, n_mel:]
         out = (z_t - b) * jnp.exp(-log_s)
 
-        new_carry = (h_att, c_att, tuple(new_hs), tuple(new_cs), out)
+        new_carry = (h_att, c_att, tuple(new_hs), tuple(new_cs), out,
+                     attn_cumm, attn_w)
         return new_carry, (out, attn_w, gate)
 
     init = (
@@ -201,6 +262,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         tuple(jnp.zeros((B, H), residual.dtype) for _ in range(n_layers)),
         tuple(jnp.zeros((B, H), residual.dtype) for _ in range(n_layers)),
         jnp.zeros((B, n_mel), residual.dtype),
+        jnp.zeros((B, Tk), residual.dtype),
+        jnp.zeros((B, Tk), residual.dtype),
     )
     prior_xs = (attn_prior.transpose(1, 0, 2) if attn_prior is not None
                 else jnp.zeros((N, B, 0), residual.dtype))

@@ -94,6 +94,31 @@ def attention_forward(params, queries, keys, values, key_mask=None,
     return context.transpose(0, 2, 1), attn, attn_logprob
 
 
+def attention_conditioning_params(key, input_dim=2, attention_n_filters=32,
+                                  attention_kernel_sizes=(5, 3),
+                                  attention_dim=640, dtype=jnp.float32):
+    """2-layer conv over concat(prev attn, cumulative attn) that gates the
+    text keys (reference:flowtron.py:129-152, Tacotron location-layer
+    analog)."""
+    from flowtron_tpu.models.layers import conv1d_params
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv_hidden": conv1d_params(k1, input_dim, attention_n_filters,
+                                     attention_kernel_sizes[0],
+                                     w_init_gain="relu", dtype=dtype),
+        "conv_out": conv1d_params(k2, attention_n_filters, attention_dim,
+                                  attention_kernel_sizes[1],
+                                  w_init_gain="sigmoid", dtype=dtype),
+    }
+
+
+def attention_conditioning_apply(params, attn_cat):
+    """attn_cat: (B, 2, Tk) -> (B, attention_dim, Tk) sigmoid gates."""
+    from flowtron_tpu.models.layers import conv1d_apply
+    h = jax.nn.relu(conv1d_apply(params["conv_hidden"], attn_cat))
+    return jax.nn.sigmoid(conv1d_apply(params["conv_out"], h))
+
+
 def attention_precompute(params, keys, values):
     """Project keys/values once before an AR inference scan.
 

@@ -36,7 +36,6 @@ def flowtron_init(key, n_speakers=1, n_speaker_dim=128, n_text=185,
                   dummy_speaker_embedding=False, use_cumm_attention=False,
                   dtype=jnp.float32):
     """Build the Flowtron parameter pytree + static config."""
-    assert not use_cumm_attention, "cumulative attention not yet implemented"
     keys = jax.random.split(key, n_flows + 4)
     params = {
         "speaker_embedding": embedding_params(keys[0], n_speakers,
@@ -59,7 +58,8 @@ def flowtron_init(key, n_speakers=1, n_speaker_dim=128, n_text=185,
         add_gate = (i == n_flows - 1) and use_gate_layer
         params["flows"].append(ar_step_params(
             keys[4 + i], n_mel_channels, n_speaker_dim, n_text_dim,
-            n_hidden, n_attn_channels, n_lstm_layers, add_gate, dtype))
+            n_hidden, n_attn_channels, n_lstm_layers, add_gate,
+            use_cumm_attention, dtype))
 
     config = {
         "n_flows": n_flows,
@@ -92,18 +92,30 @@ def _encode_text(params, config, speaker_ids, text, in_lens_mask=None,
 
 def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
                      out_lens, attn_prior=None, train=False,
-                     dropout_key=None):
+                     dropout_key=None, compute_dtype=None):
     """Training-direction pass: mel -> z.
 
     Args:
       mel: (B, n_mel, T); speaker_ids: (B,); text: (B, Tk) int ids.
       in_lens / out_lens: (B,) true lengths.
       attn_prior: (B, T, Tk) or None.
+      compute_dtype: e.g. jnp.bfloat16 — mixed-precision policy replacing
+        the reference's AMP (reference:train.py:254,292): params and
+        activations are cast for compute, master params stay fp32, the
+        loss consumes fp32 (flowtron_loss casts its inputs).
 
     Returns (z, log_s_list, gate_pred, attn_list, attn_logprob_list,
     mean, log_var, prob) — same tuple contract as the reference
     (reference:flowtron.py:870-899).
     """
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
+        mel = mel.astype(compute_dtype)
+        if attn_prior is not None:
+            attn_prior = attn_prior.astype(compute_dtype)
     B, _, T = mel.shape
     Tk = text.shape[1]
     key_mask = sequence_mask(in_lens, Tk)        # (B, Tk)

@@ -39,7 +39,8 @@ def linear_params(key, in_dim, out_dim, bias=True, w_init_gain="linear",
 
 
 def linear_apply(p, x):
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    # fp32 MXU accumulation, outputs stored in the compute dtype
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -60,13 +61,16 @@ def conv1d_apply(p, x, dilation=1):
     """x: (B, C_in, T) -> (B, C_out, T) with same padding (odd kernels)."""
     k = p["w"].shape[-1]
     pad = dilation * (k - 1) // 2
+    # output dtype tracks the compute dtype (the MXU accumulates bf16
+    # matmuls in fp32 in hardware regardless); a mixed preferred type
+    # breaks the conv VJP under bf16.
     y = jax.lax.conv_general_dilated(
         x, p["w"],
         window_strides=(1,),
         padding=[(pad, pad)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if "b" in p:
         y = y + p["b"][None, :, None]

@@ -1,0 +1,239 @@
+// Native data-pipeline kernel: waveform -> log-mel spectrogram.
+//
+// The reference's per-sample CPU work runs through torch's C++ conv kernels
+// (reference:audio_processing.py:221-235); this is the equivalent native
+// path for the TPU framework's host-side data loader: reflect pad, framed
+// real FFT (iterative radix-2), Hann window, mel filterbank matmul,
+// log-clamp. The window and mel basis are computed in Python (one source of
+// truth) and passed in at context creation.
+//
+// Build: see build.sh (g++ -O3 -shared -fPIC). Loaded via ctypes with a
+// transparent numpy fallback when the library is missing.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct MelContext {
+    int filter_length;
+    int hop_length;
+    int n_mels;
+    int n_bins;          // filter_length / 2 + 1
+    float clip_val;
+    std::vector<float> window;     // [filter_length]
+    std::vector<float> mel_basis;  // [n_mels * n_bins]
+    // precomputed twiddle factors for the radix-2 FFT
+    std::vector<double> cos_tw, sin_tw;
+    std::vector<int> bitrev;
+};
+
+void build_fft_tables(MelContext* ctx) {
+    const int n = ctx->filter_length;
+    ctx->bitrev.resize(n);
+    int log2n = 0;
+    while ((1 << log2n) < n) ++log2n;
+    for (int i = 0; i < n; ++i) {
+        int r = 0;
+        for (int b = 0; b < log2n; ++b) r |= ((i >> b) & 1) << (log2n - 1 - b);
+        ctx->bitrev[i] = r;
+    }
+    ctx->cos_tw.resize(n / 2);
+    ctx->sin_tw.resize(n / 2);
+    for (int i = 0; i < n / 2; ++i) {
+        const double ang = -2.0 * M_PI * i / n;
+        ctx->cos_tw[i] = std::cos(ang);
+        ctx->sin_tw[i] = std::sin(ang);
+    }
+}
+
+// in-place iterative radix-2 complex FFT over re/im arrays of length n
+void fft(const MelContext& ctx, double* re, double* im) {
+    const int n = ctx.filter_length;
+    for (int i = 0; i < n; ++i) {
+        const int j = ctx.bitrev[i];
+        if (j > i) {
+            std::swap(re[i], re[j]);
+            std::swap(im[i], im[j]);
+        }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+        const int half = len >> 1;
+        const int step = n / len;
+        for (int start = 0; start < n; start += len) {
+            for (int k = 0; k < half; ++k) {
+                const double wr = ctx.cos_tw[k * step];
+                const double wi = ctx.sin_tw[k * step];
+                const int a = start + k, b = a + half;
+                const double tr = re[b] * wr - im[b] * wi;
+                const double ti = re[b] * wi + im[b] * wr;
+                re[b] = re[a] - tr;
+                im[b] = im[a] - ti;
+                re[a] += tr;
+                im[a] += ti;
+            }
+        }
+    }
+}
+
+// magnitude spectra of frames [f0, f1): two real frames are packed into
+// one complex FFT (frame A in re, frame B in im; spectra recovered from
+// the conjugate-symmetric split), halving the FFT count.
+void magnitudes(const MelContext& ctx, const float* padded, float* mags,
+                int n_bins, int f0, int f1) {
+    const int n = ctx.filter_length;
+    std::vector<double> re(n), im(n);
+    for (int f = f0; f < f1; f += 2) {
+        const float* fa = padded + (size_t)f * ctx.hop_length;
+        const bool has_b = (f + 1) < f1;
+        const float* fb = has_b ? fa + ctx.hop_length : nullptr;
+        if (has_b) {
+            for (int i = 0; i < n; ++i) {
+                const double w = ctx.window[i];
+                re[i] = (double)fa[i] * w;
+                im[i] = (double)fb[i] * w;
+            }
+        } else {
+            for (int i = 0; i < n; ++i) {
+                re[i] = (double)fa[i] * ctx.window[i];
+                im[i] = 0.0;
+            }
+        }
+        fft(ctx, re.data(), im.data());
+        float* ma = mags + (size_t)(f - f0) * n_bins;
+        ma[0] = (float)std::fabs(re[0]);
+        if (has_b) {
+            float* mb = ma + n_bins;
+            mb[0] = (float)std::fabs(im[0]);
+            for (int k = 1; k < n_bins; ++k) {
+                const double ar = 0.5 * (re[k] + re[n - k]);
+                const double ai = 0.5 * (im[k] - im[n - k]);
+                const double br = 0.5 * (im[k] + im[n - k]);
+                const double bi = 0.5 * (re[n - k] - re[k]);
+                ma[k] = (float)std::sqrt(ar * ar + ai * ai);
+                mb[k] = (float)std::sqrt(br * br + bi * bi);
+            }
+        } else {
+            for (int k = 1; k < n_bins; ++k)
+                ma[k] = (float)std::sqrt(re[k] * re[k] + im[k] * im[k]);
+        }
+    }
+}
+
+// process frames [f0, f1) of one padded signal into the mel output
+void mel_frames(const MelContext& ctx, const float* padded, int n_frames,
+                float* out, int f0, int f1) {
+    const int n_bins = ctx.n_bins;
+    const int cnt = f1 - f0;
+    if (cnt <= 0) return;
+    std::vector<float> mags((size_t)cnt * n_bins);
+    magnitudes(ctx, padded, mags.data(), n_bins, f0, f1);
+    // mel matmul: (n_mels, n_bins) x (n_bins, cnt) with frame-major rhs;
+    // simple blocked loops auto-vectorize under -O3 -march=native.
+    for (int m = 0; m < ctx.n_mels; ++m) {
+        const float* row = ctx.mel_basis.data() + (size_t)m * n_bins;
+        float* orow = out + (size_t)m * n_frames + f0;
+        for (int f = 0; f < cnt; ++f) {
+            const float* mag = mags.data() + (size_t)f * n_bins;
+            float acc = 0.f;
+            for (int k = 0; k < n_bins; ++k) acc += row[k] * mag[k];
+            orow[f] = std::log(acc < ctx.clip_val ? ctx.clip_val : acc);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mel_create(int filter_length, int hop_length, int n_mels,
+                 float clip_val, const float* window,
+                 const float* mel_basis) {
+    auto* ctx = new MelContext();
+    ctx->filter_length = filter_length;
+    ctx->hop_length = hop_length;
+    ctx->n_mels = n_mels;
+    ctx->n_bins = filter_length / 2 + 1;
+    ctx->clip_val = clip_val;
+    ctx->window.assign(window, window + filter_length);
+    ctx->mel_basis.assign(mel_basis,
+                          mel_basis + (size_t)n_mels * ctx->n_bins);
+    build_fft_tables(ctx);
+    return ctx;
+}
+
+void mel_destroy(void* handle) { delete static_cast<MelContext*>(handle); }
+
+// audio: float32 [n_samples] already normalized to [-1, 1].
+// out: float32 [n_mels * (n_samples/hop + 1)], layout (n_mels, n_frames).
+// Returns the number of frames written.
+int mel_compute(void* handle, const float* audio, int64_t n_samples,
+                float* out, int n_threads) {
+    const auto& ctx = *static_cast<MelContext*>(handle);
+    const int pad = ctx.filter_length / 2;
+    const int n_frames = (int)(n_samples / ctx.hop_length) + 1;
+
+    // reflect padding
+    std::vector<float> padded((size_t)n_samples + 2 * pad);
+    for (int i = 0; i < pad; ++i) padded[i] = audio[pad - i];
+    std::memcpy(padded.data() + pad, audio, (size_t)n_samples * sizeof(float));
+    for (int i = 0; i < pad; ++i)
+        padded[(size_t)pad + n_samples + i] = audio[n_samples - 2 - i];
+
+    if (n_threads <= 1 || n_frames < 4 * n_threads) {
+        mel_frames(ctx, padded.data(), n_frames, out, 0, n_frames);
+    } else {
+        std::vector<std::thread> workers;
+        const int chunk = (n_frames + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            const int f0 = t * chunk;
+            const int f1 = std::min(n_frames, f0 + chunk);
+            if (f0 >= f1) break;
+            workers.emplace_back([&, f0, f1] {
+                mel_frames(ctx, padded.data(), n_frames, out, f0, f1);
+            });
+        }
+        for (auto& w : workers) w.join();
+    }
+    return n_frames;
+}
+
+// Parse a PCM16 mono WAV file body into float32 (native-endian assumed).
+// Returns sample count, or -1 on format error. data points at raw file
+// bytes; sr_out receives the sampling rate.
+int64_t wav_decode_pcm16(const uint8_t* data, int64_t n_bytes,
+                         float* out, int64_t max_samples, int* sr_out) {
+    if (n_bytes < 44 || std::memcmp(data, "RIFF", 4) ||
+        std::memcmp(data + 8, "WAVE", 4))
+        return -1;
+    int64_t pos = 12;
+    int sr = 0, bits = 0, channels = 0;
+    const uint8_t* body = nullptr;
+    int64_t body_len = 0;
+    while (pos + 8 <= n_bytes) {
+        const uint32_t sz = *(const uint32_t*)(data + pos + 4);
+        if (!std::memcmp(data + pos, "fmt ", 4)) {
+            channels = *(const uint16_t*)(data + pos + 10);
+            sr = *(const int32_t*)(data + pos + 12);
+            bits = *(const uint16_t*)(data + pos + 22);
+        } else if (!std::memcmp(data + pos, "data", 4)) {
+            body = data + pos + 8;
+            body_len = sz;
+            break;
+        }
+        pos += 8 + sz + (sz & 1);
+    }
+    if (!body || bits != 16 || channels < 1) return -1;
+    *sr_out = sr;
+    const int16_t* pcm = (const int16_t*)body;
+    int64_t n = body_len / 2 / channels;
+    if (n > max_samples) n = max_samples;
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = (float)pcm[i * channels];  // first channel
+    return n;
+}
+
+}  // extern "C"

@@ -64,7 +64,8 @@ def lstm_cell(params, x_proj_t, h, c):
     x_proj_t: (B, 4H) = x_t @ w_ih + b ;  h, c: (B, H)
     """
     gates = x_proj_t + jnp.dot(h, params["w_hh"],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ).astype(h.dtype)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -94,7 +95,8 @@ def lstm_single_direction(params, x, mask=None, reverse=False, init=None):
     # Hoisted input projection: one big MXU matmul over all timesteps.
     bias = params["b_ih"] + params["b_hh"]
     x_proj = jnp.dot(x, params["w_ih"],
-                     preferred_element_type=jnp.float32) + bias
+                     preferred_element_type=jnp.float32
+                     ).astype(x.dtype) + bias
 
     if init is None:
         h0 = jnp.zeros((B, H), x.dtype)

@@ -117,6 +117,14 @@ def _iter_named_params(params):
             linear(f"{pre}.dense_layer.layers.{di}.linear_layer", dl)
         if "gate_layer" in flow:
             linear(f"{pre}.gate_layer.linear_layer", flow["gate_layer"])
+        if "attn_cond_layer" in flow:
+            acl = flow["attn_cond_layer"]
+            for ours, theirs in (("conv_hidden", "location_conv_hidden"),
+                                 ("conv_out", "location_conv_out")):
+                entries.append((f"{pre}.attn_cond_layer.{theirs}.conv.weight",
+                                acl[ours], "w"))
+                entries.append((f"{pre}.attn_cond_layer.{theirs}.conv.bias",
+                                acl[ours], "b"))
 
     return entries
 

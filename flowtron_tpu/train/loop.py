@@ -35,6 +35,8 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
     gate_loss = bool(train_config.get("gate_loss", True))
     use_ctc = bool(train_config.get("use_ctc_loss", False))
     blank_logprob = float(train_config.get("blank_logprob", -1))
+    # fp16_run selects the bfloat16 compute policy on TPU
+    compute_dtype = jnp.bfloat16 if train_config.get("fp16_run") else None
 
     def step(params, opt_state, batch, dropout_key, ctc_weight):
         def loss_fn(p):
@@ -42,7 +44,7 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
                 p, model_config_static, batch["mel"], batch["speaker_ids"],
                 batch["text"], batch["in_lens"], batch["out_lens"],
                 attn_prior=batch.get("attn_prior"), train=True,
-                dropout_key=dropout_key)
+                dropout_key=dropout_key, compute_dtype=compute_dtype)
             nll, gate, ctc = flowtron_loss(
                 out, batch["gate_target"], batch["in_lens"],
                 batch["out_lens"], sigma=sigma, gm_loss=gm_loss,

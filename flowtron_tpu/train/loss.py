@@ -68,6 +68,13 @@ def flowtron_loss(model_output, gate_target, in_lens, out_lens, sigma=1.0,
     (z, log_s_list, gate_pred, attn_list, attn_logprob_list,
      mean, log_var, prob) = model_output
 
+    # losses always accumulate in fp32 (bf16 compute policy upstream)
+    f32 = lambda x: None if x is None else x.astype(jnp.float32)  # noqa: E731
+    z = f32(z)
+    log_s_list = [f32(ls) for ls in log_s_list]
+    gate_pred = f32(gate_pred)
+    mean, log_var, prob = f32(mean), f32(log_var), f32(prob)
+
     T, B, n_mel = z.shape
     mask = sequence_mask(out_lens, T).T[..., None].astype(z.dtype)  # (T,B,1)
     n_elements = jnp.sum(mask)

@@ -112,7 +112,7 @@ def _conv1d(p, x, dilation=1):
     y = jax.lax.conv_general_dilated(
         x, p["w"], (1,), [(pad, pad)], rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=x.dtype)
     return y + p["b"][None, :, None]
 
 
@@ -195,7 +195,7 @@ def waveglow_forward(params, config, spect, audio):
 
         W = params["convinv"][f]["w"]
         audio_g = jnp.einsum("ij,bjt->bit", W, audio_g)
-        _, logdet = jnp.linalg.slogdet(W)
+        _, logdet = jnp.linalg.slogdet(W.astype(jnp.float32))
         log_det_list.append(audio_g.shape[0] * audio_g.shape[2] * logdet)
 
         n_half = audio_g.shape[1] // 2
@@ -245,7 +245,9 @@ def waveglow_infer(params, config, spect, sigma=1.0, key=None):
         audio_1 = (audio_1 - b) * jnp.exp(-log_s)
         audio_g = jnp.concatenate([audio_0, audio_1], axis=1)
 
-        W_inv = jnp.linalg.inv(params["convinv"][f]["w"])
+        W_inv = jnp.linalg.inv(
+            params["convinv"][f]["w"].astype(jnp.float32)
+        ).astype(audio_g.dtype)
         audio_g = jnp.einsum("ij,bjt->bit", W_inv, audio_g)
 
         if f % n_early_every == 0 and f > 0:

@@ -142,3 +142,56 @@ class TestCollate:
         batches = list(it)
         assert len(batches) == 3  # drop_last
         assert all(b["mel"].shape[0] == 2 for b in batches)
+
+
+class TestNative:
+    @pytest.fixture(scope="class")
+    def native_lib(self):
+        from flowtron_tpu import native
+        if not native.available():
+            try:
+                assert native.build()
+            except Exception:
+                pytest.skip("no C++ toolchain available")
+        return native
+
+    def test_mel_parity(self, native_lib):
+        from flowtron_tpu.audio import MelSpectrogram
+        ms = MelSpectrogram()
+        nm = native_lib.NativeMel(np.asarray(ms.window),
+                                  np.asarray(ms.mel_basis))
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(11025) * 0.1).astype(np.float32)
+        np.testing.assert_allclose(nm(audio), ms.mel_numpy(audio),
+                                   atol=1e-5)
+
+    def test_wav_decode_parity(self, native_lib, tmp_path):
+        rng = np.random.default_rng(1)
+        pcm = (rng.standard_normal(5000) * 8000).astype(np.int16)
+        p = tmp_path / "x.wav"
+        wavfile.write(p, 22050, pcm)
+        dec, sr = native_lib.decode_wav(str(p))
+        assert sr == 22050
+        np.testing.assert_array_equal(dec, pcm.astype(np.float32))
+
+    def test_dataset_native_path(self, native_lib, tiny_corpus,
+                                 mini_cmudict):
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict, randomize=False,
+                  use_native=True)
+        assert ds._native_mel is not None
+        mel, sid, text, _ = ds[0]
+        ds2 = Data(tiny_corpus, cmudict_path=mini_cmudict, randomize=False)
+        mel2, _, _, _ = ds2[0]
+        np.testing.assert_allclose(mel, mel2, atol=1e-5)
+
+
+class TestMelCache:
+    def test_cache_roundtrip(self, tiny_corpus, mini_cmudict, tmp_path):
+        cache = str(tmp_path / "melcache")
+        ds = Data(tiny_corpus, cmudict_path=mini_cmudict, randomize=False,
+                  mel_cache_path=cache)
+        mel1, _, _, _ = ds[0]
+        import os
+        assert len(os.listdir(cache)) == 1
+        mel2, _, _, _ = ds[0]
+        np.testing.assert_array_equal(mel1, mel2)

@@ -224,3 +224,35 @@ class TestFlowtron:
         assert log_var.shape == (1, M, 4)
         assert prob.shape == (B, 4)
         np.testing.assert_allclose(np.asarray(prob).sum(1), 1.0, atol=1e-5)
+
+
+class TestCummAttention:
+    def test_invertibility_with_cumm_attention(self):
+        key = jax.random.PRNGKey(20)
+        params, config = flowtron_init(key, n_flows=2, use_gate_layer=True,
+                                       use_cumm_attention=True, **SMALL)
+        params = _randomize_coupling(params, jax.random.PRNGKey(21), 0.05)
+        assert "attn_cond_layer" in params["flows"][0]
+        rng = np.random.default_rng(22)
+        B, N, Tk, M = 1, 8, 5, SMALL["n_mel_channels"]
+        residual = jnp.asarray(
+            (rng.standard_normal((B, M, N)) * 0.5).astype(np.float32))
+        text = jnp.asarray(rng.integers(0, 185, (B, Tk)))
+        err = flowtron_test_invertibility(params, config, residual,
+                                          jnp.asarray([0]), text)
+        assert float(err) < 1e-5, float(err)
+
+    def test_forward_matches_infer_attention(self):
+        """Cumm-attention teacher-forced scan == inference scan."""
+        key = jax.random.PRNGKey(23)
+        p = ar_step_params(key, n_mel_channels=8, n_speaker_dim=4,
+                           n_text_channels=12, n_hidden=16,
+                           n_attn_channels=8, n_lstm_layers=2,
+                           add_gate=False, use_cumm_attention=True)
+        T, B, Tk = 6, 1, 4
+        text = jax.random.normal(jax.random.fold_in(key, 1), (Tk, B, 16))
+        z = jax.random.normal(jax.random.fold_in(key, 2), (T, B, 8))
+        mel, attn_infer, _ = ar_step_infer(p, z, text)
+        _, _, _, attn_fwd, _ = ar_step_forward(p, mel, text, None, None)
+        np.testing.assert_allclose(np.asarray(attn_infer),
+                                   np.asarray(attn_fwd), atol=1e-5)

@@ -113,3 +113,32 @@ class TestTraining:
         # zero-init coupling conv still receives gradient
         g_conv = np.asarray(grads["flows"][0]["conv"]["w"])
         assert np.abs(g_conv).max() > 0
+
+
+class TestMixedPrecision:
+    def test_bf16_policy_trains(self):
+        """fp16_run -> bfloat16 compute: loss finite and decreasing."""
+        cfg = dict(TRAIN_CFG, fp16_run=True)
+        mesh = make_mesh((1,))
+        params, static_cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                           use_gate_layer=True, **SMALL)
+        opt = optax.masked(
+            build_optimizer("RAdam", cfg["learning_rate"],
+                            cfg["weight_decay"], cfg["grad_clip_val"]),
+            trainable_mask(params))
+        opt_state = opt.init(params)
+        step = make_train_step(static_cfg, mesh, opt, cfg)
+        shard = data_sharded(mesh)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        losses = []
+        for i in range(8):
+            params, opt_state, m = step(params, opt_state, batch,
+                                        jax.random.fold_in(
+                                            jax.random.PRNGKey(5), i),
+                                        jnp.asarray(0.01))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        # master params stay fp32
+        assert params["embedding"]["table"].dtype == jnp.float32
