@@ -29,7 +29,7 @@ BASELINE_FRAMES_PER_SEC = 22050.0 / 256.0 / 0.03  # ≈ 2871
 def main():
     from flowtron_tpu.models import flowtron_init, flowtron_infer
 
-    B = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+    B = int(__import__("os").environ.get("BENCH_BATCH", "64"))
     N = 400          # reference's default inference op point
     Tk = 128
 
@@ -68,8 +68,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
         "detail": {"batch": B, "n_frames": N, "seconds": round(dt, 4),
-                   "backend": jax.default_backend(),
-                   "rtf_single_stream": round(dt / (N * 256 / 22050), 4)},
+                   "backend": jax.default_backend(), "dtype": "fp32",
+                   "rtf_batch_wallclock": round(dt / (N * 256 / 22050), 4)},
     }))
 
 

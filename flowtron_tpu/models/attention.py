@@ -39,15 +39,17 @@ def attention_params(key, n_query_dim=1024, n_speaker_dim=128,
 def attention_scores(params, queries_proj, keys_proj, temperature=1.0):
     """(B, Tq, D), (B, Tk, D) -> (B, Tq, Tk) additive scores.
 
-    Fused broadcast-tanh-reduce: no (B, Tq, Tk, D) HBM intermediate.
+    Dispatches to the Pallas VMEM-tiled kernel on real TPUs (custom VJP,
+    ~12% over the XLA loop fusion at flagship shapes); otherwise the
+    fused broadcast-tanh-reduce — either way no (B, Tq, Tk, D) HBM
+    intermediate.
     """
+    from flowtron_tpu.ops import attention_pallas as ap
+
     v_w = params["v"]["w"][:, 0]  # (D,)
-    scores = jnp.einsum(
-        "bqkd,d->bqk",
-        jnp.tanh(queries_proj[:, :, None, :] + keys_proj[:, None, :, :]),
-        v_w,
-    )
-    return scores / temperature
+    if ap.use_pallas_default(queries_proj.shape[-1]):
+        return ap.attention_scores(queries_proj, keys_proj, v_w, temperature)
+    return ap.attention_scores_xla(queries_proj, keys_proj, v_w, temperature)
 
 
 def attention_forward(params, queries, keys, values, key_mask=None,
