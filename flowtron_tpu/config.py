@@ -35,6 +35,7 @@ DEFAULT_CONFIG = {
         "ctc_loss_weight": 0.01,
         "blank_logprob": -8,
         "ctc_loss_start_iter": 10000,
+        "profile_dir": "",
     },
     "data_config": {
         "training_files": "filelists/train.txt",

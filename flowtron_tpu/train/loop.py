@@ -202,11 +202,20 @@ def train(config):
     iters_per_checkpoint = int(train_config.get("iters_per_checkpoint", 1000))
     epochs = int(train_config.get("epochs", 1))
 
+    # optional profiler trace (SURVEY §5: the reference has no tracing at
+    # all; here profile_dir captures an xplane trace of steps 10..14)
+    profile_dir = train_config.get("profile_dir", "")
+
     epoch_offset = max(0, iteration // max(1, len(train_loader)))
     t_last = time.time()
     for epoch in range(epoch_offset, epochs):
         print(f"Epoch: {epoch}")
         for batch in train_loader:
+            if profile_dir and iteration == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and iteration == 15:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             ctc_weight = jnp.asarray(
                 ctc_w if (use_ctc and iteration >= ctc_start) else 0.0,
                 jnp.float32)

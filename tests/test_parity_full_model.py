@@ -1,0 +1,99 @@
+"""End-to-end fp32 parity vs the torch oracle — the BASELINE.md target:
+mel MAE < 1e-3 (inference) and forward-z agreement, through the exported
+reference-format state_dict."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models import flowtron_init, flowtron_forward, \
+    flowtron_infer
+from flowtron_tpu.train.checkpoints import export_torch_state_dict
+from tests.oracles import torch_flowtron as oracle
+
+SMALL = dict(n_speakers=3, n_speaker_dim=8, n_text=185, n_text_dim=16,
+             n_mel_channels=8, n_hidden=16, n_attn_channels=8,
+             n_lstm_layers=2, mel_encoder_n_hidden=8)
+
+
+@pytest.fixture(scope="module")
+def model_and_sd():
+    params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                   use_gate_layer=True, **SMALL)
+    # non-trivial coupling
+    for i, f in enumerate(params["flows"]):
+        k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        f["conv"]["w"] = 0.05 * jax.random.normal(k, f["conv"]["w"].shape)
+        f["conv"]["b"] = 0.01 * jax.random.normal(
+            jax.random.fold_in(k, 1), f["conv"]["b"].shape)
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_torch_state_dict(params).items()}
+    return params, config, sd
+
+
+class TestFullModelParity:
+    def test_forward_z_parity(self, model_and_sd):
+        """Training-direction pass matches the reference math end to end
+        (variable lengths, prior, backward flow flip+roll)."""
+        params, config, sd = model_and_sd
+        rng = np.random.default_rng(7)
+        B, T, Tk, M = 3, 14, 9, SMALL["n_mel_channels"]
+        mel = rng.standard_normal((B, M, T)).astype(np.float32)
+        text = rng.integers(1, 185, (B, Tk))
+        sids = np.array([0, 1, 2])
+        in_lens = np.array([9, 7, 5])
+        out_lens = np.array([14, 11, 8])
+        # zero the padding like the collate does
+        for b in range(B):
+            mel[b, :, out_lens[b]:] = 0
+            text[b, in_lens[b]:] = 0
+        prior = rng.uniform(0.05, 1.0, (B, T, Tk)).astype(np.float32)
+        prior /= prior.sum(-1, keepdims=True)
+
+        z_ours, log_s_ours, gate_ours, *_ = flowtron_forward(
+            params, config, jnp.asarray(mel), jnp.asarray(sids),
+            jnp.asarray(text), jnp.asarray(in_lens), jnp.asarray(out_lens),
+            attn_prior=jnp.asarray(prior))
+
+        z_ref, log_s_ref, gate_ref, _, _ = oracle.flowtron_forward(
+            sd, 2, torch.from_numpy(mel), torch.from_numpy(sids),
+            torch.from_numpy(text), in_lens, out_lens,
+            torch.from_numpy(prior))
+
+        # compare only valid frames (padded values differ by construction:
+        # packed-lstm zeros vs our masked zeros feed the same downstream,
+        # but the affine output on padding is unconstrained)
+        for b in range(B):
+            L = out_lens[b]
+            np.testing.assert_allclose(
+                np.asarray(z_ours)[:L, b], z_ref[:L, b].numpy(), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(log_s_ours[0])[:L, b],
+                log_s_ref[0][:L, b].numpy(), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(gate_ours)[:L, b], gate_ref[:L, b].numpy(),
+                atol=1e-5)
+
+    def test_infer_mel_parity(self, model_and_sd):
+        """BASELINE target: inference mel MAE < 1e-3 in fp32 (achieved:
+        ~1e-6 at these dims)."""
+        params, config, sd = model_and_sd
+        rng = np.random.default_rng(8)
+        B, N, Tk, M = 1, 12, 6, SMALL["n_mel_channels"]
+        residual = (rng.standard_normal((B, M, N)) * 0.5).astype(np.float32)
+        text = rng.integers(1, 185, (B, Tk))
+        sids = np.array([1])
+
+        mel_ours, _, n_valid = flowtron_infer(
+            params, config, jnp.asarray(residual), jnp.asarray(sids),
+            jnp.asarray(text), gate_threshold=1e6)
+        assert int(n_valid[0]) == N
+
+        mel_ref = oracle.flowtron_infer(sd, 2, torch.from_numpy(residual),
+                                        torch.from_numpy(sids),
+                                        torch.from_numpy(text))
+        mae = np.abs(np.asarray(mel_ours) - mel_ref.numpy()).mean()
+        assert mae < 1e-3, f"mel MAE {mae}"
+        assert mae < 1e-4  # comfortably inside the target
