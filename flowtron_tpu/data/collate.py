@@ -76,6 +76,45 @@ class DataCollate:
         }
 
 
+class PrefetchIterator:
+    """Wraps a batch iterable with a background producer thread so host-side
+    data work (wav decode, STFT, priors) overlaps device steps — the role
+    of the reference's DataLoader worker process (reference:train.py:77)."""
+
+    def __init__(self, iterable, depth=2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.iterable)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
 class BatchIterator:
     """Simple shuffling batch iterator with drop_last (reference's
     DataLoader role, single-process)."""

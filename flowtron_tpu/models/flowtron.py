@@ -203,15 +203,21 @@ def flowtron_test_invertibility(params, config, residual, speaker_ids, text,
                                 temperature=1.0):
     """infer -> forward round-trip error; should be ~1e-5 or less
     (the reference's own oracle, reference:flowtron.py:932-954, with its
-    unpacking bug fixed)."""
+    unpacking bug fixed).
+
+    Runs at highest matmul precision: the TPU default (bf16x3 passes)
+    inflates the round-trip error to ~2e-4 at flagship dims; full fp32
+    gives ~2e-6 (measured on v5e).
+    """
     B, n_mel, N = residual.shape
-    mel, _, n_valid = flowtron_infer(
-        params, config, residual, speaker_ids, text,
-        temperature=temperature, gate_threshold=1e6)  # no early gate
-    in_lens = jnp.full((B,), text.shape[1], jnp.int32)
-    out_lens = jnp.full((B,), N, jnp.int32)
-    z_recon, _, _, _, _, _, _, _ = flowtron_forward(
-        params, config, mel, speaker_ids, text, in_lens, out_lens)
+    with jax.default_matmul_precision("highest"):
+        mel, _, n_valid = flowtron_infer(
+            params, config, residual, speaker_ids, text,
+            temperature=temperature, gate_threshold=1e6)  # no early gate
+        in_lens = jnp.full((B,), text.shape[1], jnp.int32)
+        out_lens = jnp.full((B,), N, jnp.int32)
+        z_recon, _, _, _, _, _, _, _ = flowtron_forward(
+            params, config, mel, speaker_ids, text, in_lens, out_lens)
 
     residual_tb = residual.transpose(2, 0, 1)
     # (the reference flips both tensors for even n_flows before comparing —

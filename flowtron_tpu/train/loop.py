@@ -22,7 +22,9 @@ from flowtron_tpu.train.radam import build_optimizer
 from flowtron_tpu.train.checkpoints import (
     save_checkpoint, load_checkpoint, warmstart, trainable_mask,
 )
-from flowtron_tpu.data import Data, DataCollate, BatchIterator
+from flowtron_tpu.data import (
+    Data, DataCollate, BatchIterator, PrefetchIterator,
+)
 from flowtron_tpu.parallel.mesh import (
     make_mesh, replicated, data_sharded,
 )
@@ -107,8 +109,9 @@ def prepare_dataloaders(data_config, batch_size, seed=1234,
                   speaker_ids=trainset.speaker_ids)
     collate = DataCollate(use_attn_prior=trainset.use_attn_prior,
                           pad_to_multiple=pad_to_multiple)
-    train_loader = BatchIterator(trainset, batch_size, collate,
-                                 shuffle=True, seed=seed)
+    train_loader = PrefetchIterator(
+        BatchIterator(trainset, batch_size, collate, shuffle=True,
+                      seed=seed))
     val_loader = BatchIterator(valset, batch_size, collate, shuffle=False,
                                seed=seed, drop_last=False)
     return train_loader, val_loader

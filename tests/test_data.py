@@ -195,3 +195,37 @@ class TestMelCache:
         assert len(os.listdir(cache)) == 1
         mel2, _, _, _ = ds[0]
         np.testing.assert_array_equal(mel1, mel2)
+
+
+class TestPrefetch:
+    def test_prefetch_yields_all_batches(self):
+        from flowtron_tpu.data import PrefetchIterator
+
+        class FakeDs:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return (rng.standard_normal((80, 10)).astype(np.float32),
+                        0, np.arange(1, 5), None)
+
+        base = BatchIterator(FakeDs(), 2, DataCollate(), seed=0)
+        pre = PrefetchIterator(base)
+        assert len(pre) == 3
+        direct = [b["out_lens"].tolist() for b in base]
+        # reset rng state by constructing a fresh iterator
+        base2 = BatchIterator(FakeDs(), 2, DataCollate(), seed=0)
+        fetched = [b["out_lens"].tolist()
+                   for b in PrefetchIterator(base2)]
+        assert len(fetched) == 3
+
+    def test_prefetch_propagates_errors(self):
+        from flowtron_tpu.data import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        with pytest.raises(ValueError, match="boom"):
+            list(PrefetchIterator(gen()))
