@@ -50,6 +50,8 @@ def inference_main(argv=None):
     parser.add_argument("-g", "--gate", type=float, default=0.5)
     parser.add_argument("-o", "--output_dir", type=str, default="results")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("-d", "--denoise", type=float, default=0.0,
+                        help="denoiser strength (0 = off; needs -w)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()

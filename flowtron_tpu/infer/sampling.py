@@ -116,6 +116,11 @@ def run_inference(config, args):
         wg_params, wg_cfg = load_waveglow(args.waveglow_path)
         audio = waveglow_infer(wg_params, wg_cfg, jnp.asarray(mel[None]),
                                sigma=0.8)
+        if getattr(args, "denoise", 0.0) > 0:
+            from flowtron_tpu.vocoder.denoiser import Denoiser
+            den = Denoiser(wg_params, wg_cfg,
+                           n_mel_channels=wg_cfg["n_mel_channels"])
+            audio = den(audio, strength=args.denoise)
         audio = np.asarray(audio)[0]
     else:
         print("no vocoder checkpoint; using Griffin-Lim fallback")
