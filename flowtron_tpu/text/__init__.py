@@ -13,7 +13,7 @@ import re
 
 from flowtron_tpu.text import cleaners
 from flowtron_tpu.text.symbols import symbols
-from flowtron_tpu.text.cmudict import CMUDict
+from flowtron_tpu.text.cmudict import CMUDict  # noqa: F401  (public re-export)
 
 _symbol_to_id = {s: i for i, s in enumerate(symbols)}
 _id_to_symbol = {i: s for i, s in enumerate(symbols)}

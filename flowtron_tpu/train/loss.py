@@ -15,7 +15,6 @@ program for the whole batch) instead of the reference's per-sample Python
 loop (reference:flowtron.py:170-180).
 """
 
-import jax
 import jax.numpy as jnp
 import optax
 
