@@ -178,7 +178,8 @@ def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
 
 
 def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
-                  temperature=1.0, gate_threshold=0.5, n_valid=None):
+                  temperature=1.0, gate_threshold=0.5, n_valid=None,
+                  attn=None):
     """Invert one flow step over sampled latents with a lax.scan.
 
     Args:
@@ -188,6 +189,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
       attn_prior: (B, N, Tk) or None.
       n_valid: (B,) frames valid in `residual` (from a previous gated flow);
         None means all N.
+      attn: optional externally supplied attention map (B, N, Tk) used
+        instead of computed attention (reference:flowtron.py:585-588,797).
 
     Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
     """
@@ -206,7 +209,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
 
     def cell(carry, xs):
         (h_att, c_att, hs, cs, prev_out, attn_cumm, attn_prev) = carry
-        z_t, prior_t = xs
+        z_t, prior_t, attn_ext_t = xs
 
         # attention LSTM cell on previous output frame
         xp = jnp.dot(prev_out, att_layer_p["w_ih"],
@@ -223,9 +226,14 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         else:
             k_proj_t = k_proj
 
-        context, attn_w = attention_step(
-            params["attention_layer"], h_att, k_proj_t, vals,
-            key_mask=key_mask, prior_t=prior_t, temperature=temperature)
+        if attn_ext_t is not None:
+            # externally supplied attention: context = attn @ values
+            attn_w = attn_ext_t
+            context = jnp.einsum("bk,bkd->bd", attn_w, vals)
+        else:
+            context, attn_w = attention_step(
+                params["attention_layer"], h_att, k_proj_t, vals,
+                key_mask=key_mask, prior_t=prior_t, temperature=temperature)
         attn_cumm = attn_cumm + attn_w
         decoder_input = jnp.concatenate([h_att, context], axis=-1)
 
@@ -265,9 +273,10 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         jnp.zeros((B, Tk), residual.dtype),
         jnp.zeros((B, Tk), residual.dtype),
     )
-    prior_xs = (attn_prior.transpose(1, 0, 2) if attn_prior is not None
-                else jnp.zeros((N, B, 0), residual.dtype))
-    xs = (residual, prior_xs if attn_prior is not None else None)
+    prior_xs = attn_prior.transpose(1, 0, 2) if attn_prior is not None \
+        else None
+    attn_xs = attn.transpose(1, 0, 2) if attn is not None else None
+    xs = (residual, prior_xs, attn_xs)
 
     _, (mel, attn_w, gates) = jax.lax.scan(cell, init, xs)
 
@@ -289,7 +298,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
 
 def ar_back_step_infer(params, residual, text, key_mask=None,
                        attn_prior=None, temperature=1.0, gate_threshold=0.5,
-                       n_valid=None):
+                       n_valid=None, attn=None):
     """Backward flow inference: flip in, invert, flip back
     (reference:flowtron.py:629-642)."""
     N, B, _ = residual.shape
@@ -300,6 +309,6 @@ def ar_back_step_infer(params, residual, text, key_mask=None,
         else None
     mel, attn_w, n_valid_out = ar_step_infer(
         params, residual_f, text, key_mask, prior_f, temperature,
-        gate_threshold, n_valid=n_valid)
+        gate_threshold, n_valid=n_valid, attn=attn)
     mel = _flip_time(mel, n_valid_out)
     return mel, attn_w, n_valid_out

@@ -161,7 +161,7 @@ def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
 
 def flowtron_infer(params, config, residual, speaker_ids, text,
                    temperature=1.0, gate_threshold=0.5, attn_prior=None,
-                   in_lens=None):
+                   in_lens=None, attns=None):
     """Inference: invert the flows over sampled latents.
 
     Args:
@@ -181,22 +181,26 @@ def flowtron_infer(params, config, residual, speaker_ids, text,
                                    key_mask)
 
     z = residual.transpose(2, 0, 1)  # (N, B, n_mel)
-    attns = []
     n_valid = None
     n_flows = config["n_flows"]
+    out_attns = []
     for rev_i, flow_params in enumerate(reversed(params["flows"])):
         i = n_flows - 1 - rev_i
+        # reference indexes reversed(attns)[rev_i] (reference:flowtron.py:925)
+        attn_ext = None
+        if attns is not None:
+            attn_ext = attns[len(attns) - 1 - rev_i]
         if i % 2 == 0:
             z, attn_w, n_valid = ar_step_infer(
                 flow_params, z, encoder_outputs, key_mask, attn_prior,
-                temperature, gate_threshold, n_valid=n_valid)
+                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext)
         else:
             z, attn_w, n_valid = ar_back_step_infer(
                 flow_params, z, encoder_outputs, key_mask, attn_prior,
-                temperature, gate_threshold, n_valid=n_valid)
-        attns.append(attn_w)
+                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext)
+        out_attns.append(attn_w)
 
-    return z.transpose(1, 2, 0), attns, n_valid
+    return z.transpose(1, 2, 0), out_attns, n_valid
 
 
 def flowtron_test_invertibility(params, config, residual, speaker_ids, text,

@@ -212,15 +212,41 @@ def import_torch_state_dict(params, state_dict, include_layers=None,
 # native checkpoint save / resume
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path, params, opt_state, iteration, learning_rate,
-                    config=None):
+class AsyncSaver:
+    """Background-thread checkpoint writer (SURVEY §5: periodic async
+    checkpointing). Device arrays are snapshotted to host synchronously
+    (cheap) and the disk write happens off the training thread."""
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, path, params, opt_state, iteration, learning_rate,
+             config=None):
+        import threading
+        self.wait()
+        host_params = jax.tree.map(np.asarray, params)
+        host_opt = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state)
+        self._thread = threading.Thread(
+            target=_write_checkpoint,
+            args=(path, host_params, host_opt, int(iteration),
+                  float(learning_rate), config),
+            daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
+def _write_checkpoint(path, host_params, host_opt, iteration,
+                      learning_rate, config):
     payload = {
-        "params": jax.tree.map(np.asarray, params),
-        "opt_state": jax.tree.map(
-            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
-            opt_state),
-        "iteration": int(iteration),
-        "learning_rate": float(learning_rate),
+        "params": host_params,
+        "opt_state": host_opt,
+        "iteration": iteration,
+        "learning_rate": learning_rate,
         "config": config,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -228,6 +254,16 @@ def save_checkpoint(path, params, opt_state, iteration, learning_rate,
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path, params, opt_state, iteration, learning_rate,
+                    config=None):
+    _write_checkpoint(
+        path,
+        jax.tree.map(np.asarray, params),
+        jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                     opt_state),
+        int(iteration), float(learning_rate), config)
 
 
 def load_checkpoint(path, params, opt_state=None, ignore_layers=()):

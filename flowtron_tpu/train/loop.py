@@ -20,7 +20,7 @@ from flowtron_tpu.models import flowtron_init, flowtron_forward
 from flowtron_tpu.train.loss import flowtron_loss
 from flowtron_tpu.train.radam import build_optimizer
 from flowtron_tpu.train.checkpoints import (
-    save_checkpoint, load_checkpoint, warmstart, trainable_mask,
+    AsyncSaver, load_checkpoint, warmstart, trainable_mask,
 )
 from flowtron_tpu.data import (
     Data, DataCollate, BatchIterator, PrefetchIterator,
@@ -204,6 +204,7 @@ def train(config):
     ctc_w = float(train_config.get("ctc_loss_weight", 0.0))
     iters_per_checkpoint = int(train_config.get("iters_per_checkpoint", 1000))
     epochs = int(train_config.get("epochs", 1))
+    saver = AsyncSaver()
 
     # optional profiler trace (SURVEY §5: the reference has no tracing at
     # all; here profile_dir captures an xplane trace of steps 10..14)
@@ -247,9 +248,9 @@ def train(config):
                         val["loss"], val["nll"], val["gate"], val["ctc"],
                         last, iteration)
                 ckpt = os.path.join(output_directory, f"model_{iteration}")
-                save_checkpoint(ckpt, params, opt_state, iteration,
-                                float(train_config["learning_rate"]),
-                                config)
+                saver.save(ckpt, params, opt_state, iteration,
+                           float(train_config["learning_rate"]), config)
             iteration += 1
 
+    saver.wait()
     return params, opt_state, iteration

@@ -153,3 +153,33 @@ class TestTrainableMask:
         assert not flat["gaussian_mixture.mean"]
         assert not flat["gaussian_mixture.log_var"]
         assert flat["gaussian_mixture.prob_layer.w"]
+
+
+class TestAsyncSaver:
+    def test_async_save_roundtrip(self, model, tmp_path):
+        from flowtron_tpu.train.checkpoints import AsyncSaver
+        params, _ = model
+        opt = radam(1e-3)
+        saver = AsyncSaver()
+        path = str(tmp_path / "async_ck")
+        saver.save(path, params, opt.init(params), 42, 1e-3)
+        saver.wait()
+        params2, _ = flowtron_init(jax.random.PRNGKey(3), n_flows=2,
+                                   use_gate_layer=True, **SMALL)
+        params3, _, it, _ = load_checkpoint(path, params2, opt.init(params2))
+        assert it == 42
+        np.testing.assert_allclose(
+            np.asarray(params3["embedding"]["table"]),
+            np.asarray(params["embedding"]["table"]))
+
+    def test_overlapping_saves_serialize(self, model, tmp_path):
+        from flowtron_tpu.train.checkpoints import AsyncSaver
+        params, _ = model
+        opt = radam(1e-3)
+        saver = AsyncSaver()
+        for i in range(3):
+            saver.save(str(tmp_path / f"ck{i}"), params, opt.init(params),
+                       i, 1e-3)
+        saver.wait()
+        import os
+        assert sorted(os.listdir(tmp_path)) == ["ck0", "ck1", "ck2"]

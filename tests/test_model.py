@@ -256,3 +256,28 @@ class TestCummAttention:
         _, _, _, attn_fwd, _ = ar_step_forward(p, mel, text, None, None)
         np.testing.assert_allclose(np.asarray(attn_infer),
                                    np.asarray(attn_fwd), atol=1e-5)
+
+
+class TestExternalAttention:
+    def test_attns_roundtrip(self, small_model):
+        """Supplying the attention maps a previous run produced gives the
+        same mel (reference:flowtron.py:901-929 attns= contract)."""
+        params, config = small_model
+        rng = np.random.default_rng(30)
+        B, N, Tk, M = 1, 8, 5, SMALL["n_mel_channels"]
+        residual = jnp.asarray(
+            (rng.standard_normal((B, M, N)) * 0.5).astype(np.float32))
+        text = jnp.asarray(rng.integers(0, 185, (B, Tk)))
+        sids = jnp.asarray([0])
+
+        mel1, attns, _ = flowtron_infer(params, config, residual, sids,
+                                        text, gate_threshold=1e6)
+        # feed the recorded maps back, in forward-flow order:
+        # attns returned reversed-visit order -> reference expects
+        # attns list s.t. reversed(attns)[i] matches visit i
+        attns_fwd_order = [jnp.asarray(a) for a in reversed(attns)]
+        mel2, attns2, _ = flowtron_infer(params, config, residual, sids,
+                                         text, gate_threshold=1e6,
+                                         attns=attns_fwd_order)
+        np.testing.assert_allclose(np.asarray(mel2), np.asarray(mel1),
+                                   atol=1e-5)
