@@ -26,7 +26,7 @@ from flowtron_tpu.models.attention import (
     attention_params, attention_forward, attention_precompute, attention_step,
     attention_conditioning_params, attention_conditioning_apply,
 )
-from flowtron_tpu.ops.lstm import lstm_params, lstm_forward
+from flowtron_tpu.ops.lstm import lstm_params, lstm_forward, lstm_cell
 from flowtron_tpu.utils.masks import flip_within_length_indices
 
 
@@ -207,46 +207,15 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
     att_layer_p = params["attention_lstm"]["layers"][0]
     att_bias = att_layer_p["b_ih"] + att_layer_p["b_hh"]
 
-    # Per-step matmul fusion (hoisted, math-identical):
-    # x@W_ih + h@W_hh == [x, h] @ [[W_ih], [W_hh]] — one MXU dispatch per
-    # LSTM cell instead of two. The gate head shares the decoder LSTM's
-    # layer-1 input, so its column is folded into that matmul (zero rows
-    # for the h part).
-    w_att_cat = jnp.concatenate([att_layer_p["w_ih"],
-                                 att_layer_p["w_hh"]], axis=0)
-    dec_layers = params["lstm"]["layers"]
-    w_l_cat, b_l = [], []
-    for li, lp in enumerate(dec_layers):
-        w = jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=0)
-        bias = lp["b_ih"] + lp["b_hh"]
-        if li == 0 and has_gate:
-            gate_rows = jnp.concatenate(
-                [params["gate_layer"]["w"],
-                 jnp.zeros((lp["w_hh"].shape[0], 1), w.dtype)], axis=0)
-            w = jnp.concatenate([w, gate_rows], axis=1)
-            bias = jnp.concatenate([bias, params["gate_layer"]["b"]])
-        w_l_cat.append(w)
-        b_l.append(bias)
-
-    def _gates_split(gates, c):
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        return o * jnp.tanh(c_new), c_new
-
     def cell(carry, xs):
         (h_att, c_att, hs, cs, prev_out, attn_cumm, attn_prev) = carry
         z_t, prior_t, attn_ext_t = xs
 
-        # attention LSTM cell on previous output frame (fused matmul)
-        gates_att = jnp.dot(
-            jnp.concatenate([prev_out, h_att], axis=-1), w_att_cat,
-            preferred_element_type=jnp.float32
-        ).astype(prev_out.dtype) + att_bias
-        h_att, c_att = _gates_split(gates_att, c_att)
+        # attention LSTM cell on previous output frame
+        xp = jnp.dot(prev_out, att_layer_p["w_ih"],
+                     preferred_element_type=jnp.float32
+                     ).astype(prev_out.dtype) + att_bias
+        h_att, c_att = lstm_cell(att_layer_p, xp, h_att, c_att)
 
         if has_cumm:
             attn_cat = jnp.stack([attn_cumm, attn_prev], axis=1)
@@ -269,18 +238,18 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         decoder_input = jnp.concatenate([h_att, context], axis=-1)
 
         gate = jnp.zeros((B,), residual.dtype)
+        if has_gate:
+            gate = jax.nn.sigmoid(
+                linear_apply(params["gate_layer"], decoder_input))[:, 0]
+
         x = decoder_input
         new_hs, new_cs = [], []
-        for li, layer_p in enumerate(dec_layers):
-            H_l = layer_p["w_hh"].shape[0]
-            acts = jnp.dot(
-                jnp.concatenate([x, hs[li]], axis=-1), w_l_cat[li],
-                preferred_element_type=jnp.float32
-            ).astype(x.dtype) + b_l[li]
-            if li == 0 and has_gate:
-                gate = jax.nn.sigmoid(acts[:, 4 * H_l])
-                acts = acts[:, :4 * H_l]
-            h_l, c_l = _gates_split(acts, cs[li])
+        for li, layer_p in enumerate(params["lstm"]["layers"]):
+            xp_l = jnp.dot(x, layer_p["w_ih"],
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype) \
+                + layer_p["b_ih"] + layer_p["b_hh"]
+            h_l, c_l = lstm_cell(layer_p, xp_l, hs[li], cs[li])
             new_hs.append(h_l)
             new_cs.append(c_l)
             x = h_l
