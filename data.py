@@ -20,6 +20,8 @@ def main():
     with open(args.config) as f:
         data_config = json.load(f)["data_config"]
 
+    from flowtron_tpu.cli import _apply_platform_override
+    _apply_platform_override()
     from flowtron_tpu.data import Data, load_filepaths_and_text, load_wav
     ignore = ("training_files", "validation_files")
     mel2samp = Data(data_config["training_files"],
