@@ -72,6 +72,7 @@ def _integer_to_words(n, andword="and"):
     if n < 0:
         return "minus " + _integer_to_words(-n, andword)
     groups = []
+    values = []
     scale = 0
     while n > 0:
         n, g = divmod(n, 1000)
@@ -80,8 +81,15 @@ def _integer_to_words(n, andword="and"):
             if scale:
                 words += " " + _SCALES[scale]
             groups.append(words)
+            values.append(g)
         scale += 1
-    return ", ".join(reversed(groups))
+    groups.reverse()
+    values.reverse()
+    # inflect joins a final sub-hundred group with the andword:
+    # 2001 -> "two thousand and one"
+    if len(groups) > 1 and values[-1] < 100 and andword:
+        return ", ".join(groups[:-1]) + f" {andword} " + groups[-1]
+    return ", ".join(groups)
 
 
 def _digit_words(digits, zero="zero"):

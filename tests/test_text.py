@@ -187,3 +187,41 @@ class TestCleanText:
         assert _clean_text("A  B", ["basic_cleaners"]) == "a b"
         with pytest.raises(ValueError):
             _clean_text("x", ["nonexistent_cleaners"])
+
+
+class TestNumwordsEdgeCases:
+    @pytest.mark.parametrize("n,expected", [
+        (1000000000, "one billion"),
+        (1000000000000, "one trillion"),
+        (2001, "two thousand and one"),
+        (110, "one hundred and ten"),
+        (1100, "one thousand, one hundred"),
+        (999999, "nine hundred and ninety-nine thousand, "
+                 "nine hundred and ninety-nine"),
+    ])
+    def test_large_cardinals(self, n, expected):
+        assert number_to_words(n) == expected
+
+    def test_negative(self):
+        assert number_to_words(-5) == "minus five"
+
+    def test_ordinal_large(self):
+        assert number_to_words("100th") == "one hundredth"
+        assert number_to_words("1000th") == "one thousandth"
+        assert number_to_words("30th") == "thirtieth"
+
+    def test_non_numeric_passthrough(self):
+        assert number_to_words("abc") == "abc"
+
+    def test_its_not_possessivized(self, mini_cmudict, mini_heteronyms):
+        cmu = CMUDict(mini_cmudict, keep_ambiguous=False)
+        set_heteronyms_path(mini_heteronyms)
+        # "it's" is explicitly excluded from the 's -> Z rule
+        out = get_arpabet("it's", cmu)
+        assert out == "it's"
+
+    def test_times_without_minutes(self):
+        # without a CMUdict, PM is spelled letter by letter (reference
+        # behavior with a dict is "{P IY1 EH1 M}")
+        assert cleaners.flowtron_cleaners("see you at 5pm!") == \
+            "see you at five {P IY1} {EH1 M}!"

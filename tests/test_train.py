@@ -142,3 +142,43 @@ class TestMixedPrecision:
         assert losses[-1] < losses[0]
         # master params stay fp32
         assert params["embedding"]["table"].dtype == jnp.float32
+
+
+class TestResume:
+    def test_interrupted_training_equals_uninterrupted(self, tmp_path):
+        """4 steps == (2 steps -> checkpoint -> restore -> 2 steps):
+        optimizer state and params round-trip exactly."""
+        from flowtron_tpu.train.checkpoints import (
+            save_checkpoint, load_checkpoint,
+        )
+        mesh = make_mesh((1,))
+        shard = data_sharded(mesh)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        key = jax.random.PRNGKey(5)
+
+        def run(params, opt_state, step, start, n):
+            losses = []
+            for i in range(start, start + n):
+                params, opt_state, m = step(
+                    params, opt_state, batch, jax.random.fold_in(key, i),
+                    jnp.asarray(0.01))
+                losses.append(float(m["loss"]))
+            return params, opt_state, losses
+
+        # uninterrupted
+        p1, o1, step = _setup(mesh)
+        p1, o1, l_all = run(p1, o1, step, 0, 4)
+
+        # interrupted at step 2
+        p2, o2, step2 = _setup(mesh)
+        p2, o2, l_a = run(p2, o2, step2, 0, 2)
+        ck = str(tmp_path / "resume_ck")
+        save_checkpoint(ck, p2, o2, 2, 5e-3)
+
+        p3, o3, step3 = _setup(mesh)  # fresh model + optimizer
+        p3, o3_r, it, _ = load_checkpoint(ck, p3, o3)
+        assert it == 2
+        p3, o3_r, l_b = run(p3, o3_r, step3, 2, 2)
+
+        np.testing.assert_allclose(l_a + l_b, l_all, rtol=1e-5)
