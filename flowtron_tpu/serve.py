@@ -1,0 +1,254 @@
+"""Serving runtime: HTTP TTS endpoint with dynamic request batching.
+
+The reference has no serving story (inference.py is a one-shot CLI); this
+module provides the production path the framework targets: a warm jitted
+synthesis function at fixed shape buckets, a micro-batching queue that
+coalesces concurrent requests into one TPU dispatch, and a thread-pool
+HTTP front end.
+
+POST /synthesize  {"text": "...", "speaker_id": 0, "sigma": 0.5,
+                   "n_frames": 400, "seed": 1234}
+  -> audio/wav bytes (Griffin-Lim fallback or WaveGlow when loaded)
+GET /healthz      -> {"status": "ok", "queue_depth": N}
+
+Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
+     [--port 8080 --max-batch 8 --batch-timeout-ms 20]
+"""
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+class SynthesisEngine:
+    """Batched synthesis over fixed shape buckets (one jit program per
+    (batch, text) bucket; requests are padded up)."""
+
+    def __init__(self, config, flowtron_path, waveglow_path="",
+                 max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
+                 n_frames=400):
+        import jax
+        import jax.numpy as jnp
+        from flowtron_tpu.infer.sampling import load_model_for_inference
+        from flowtron_tpu.models import flowtron_infer
+        from flowtron_tpu.data import Data
+
+        self.jax, self.jnp = jax, jnp
+        self.config = config
+        self.n_frames = n_frames
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1000.0
+        self.text_buckets = sorted(text_buckets)
+
+        data_config = dict(config["data_config"])
+        self.data_config = data_config
+        self.params, self.static_cfg = load_model_for_inference(
+            config, flowtron_path)
+
+        ignore = ("training_files", "validation_files")
+        self.frontend = Data(
+            data_config["training_files"],
+            **{k: v for k, v in data_config.items() if k not in ignore})
+
+        self.wg = None
+        if waveglow_path:
+            from flowtron_tpu.vocoder import load_waveglow
+            self.wg = load_waveglow(waveglow_path)
+
+        def synth(params, residual, sids, text, in_lens):
+            return flowtron_infer(params, self.static_cfg, residual, sids,
+                                  text, gate_threshold=0.5, in_lens=in_lens)
+
+        self._synth = jax.jit(synth)
+        self._queue = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- request path -----------------------------------------------------
+    def submit(self, text, speaker_id=0, sigma=0.5, seed=1234):
+        """Blocking: returns (wav_int16, sample_rate)."""
+        done = threading.Event()
+        slot = {}
+        self._queue.put((text, speaker_id, sigma, seed, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["wav"], self.data_config["sampling_rate"]
+
+    @property
+    def queue_depth(self):
+        return self._queue.qsize()
+
+    # -- batching worker ---------------------------------------------------
+    def _bucket(self, n):
+        for b in self.text_buckets:
+            if n <= b:
+                return b
+        return self.text_buckets[-1]
+
+    def _loop(self):
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            deadline = time.time() + self.batch_timeout
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # pragma: no cover
+                for *_, slot, done in batch:
+                    slot["error"] = repr(e)
+                    done.set()
+
+    def _run_batch(self, batch):
+        jnp = self.jnp
+        ids_list, keep = [], []
+        for text, sid, sigma, seed, slot, done in batch:
+            ids = self.frontend.get_text(text)
+            if len(ids) == 0:
+                slot["error"] = "empty text after cleaning"
+                done.set()
+                continue
+            ids_list.append(ids)
+            keep.append((text, sid, sigma, seed, slot, done))
+        if not keep:
+            return
+        batch = keep
+
+        Tk = self._bucket(max(len(i) for i in ids_list))
+        B = len(batch)
+        text_pad = np.zeros((B, Tk), np.int64)
+        in_lens = np.zeros((B,), np.int64)
+        sids = np.zeros((B,), np.int64)
+        residual = np.zeros((B, self.static_cfg["n_mel_channels"],
+                             self.n_frames), np.float32)
+        for b, (ids, (_, sid, sigma, seed, _, _)) in enumerate(
+                zip(ids_list, batch)):
+            n = min(len(ids), Tk)
+            text_pad[b, :n] = ids[:n]
+            in_lens[b] = n
+            sids[b] = int(self.frontend.speaker_ids.get(int(sid), 0))
+            rng = self.jax.random.PRNGKey(int(seed))
+            residual[b] = np.asarray(self.jax.random.normal(
+                rng, residual.shape[1:])) * float(sigma)
+
+        mel, attns, n_valid = self._synth(
+            self.params, jnp.asarray(residual), jnp.asarray(sids),
+            jnp.asarray(text_pad), jnp.asarray(in_lens))
+        mel = np.asarray(mel)
+        n_valid = np.asarray(n_valid)
+
+        for b, (text, sid, sigma, seed, slot, done) in enumerate(batch):
+            m = mel[b, :, :max(1, int(n_valid[b]))]
+            audio = self._vocode(m)
+            audio = audio / max(1e-8, np.abs(audio).max())
+            slot["wav"] = (audio * 32767).astype(np.int16)
+            done.set()
+
+    def _vocode(self, mel):
+        if self.wg is not None:
+            from flowtron_tpu.vocoder import waveglow_infer
+            wg_params, wg_cfg = self.wg
+            return np.asarray(waveglow_infer(
+                wg_params, wg_cfg, self.jnp.asarray(mel[None]),
+                sigma=0.8))[0]
+        from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
+        return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
+
+
+def _wav_bytes(wav_int16, sr):
+    from scipy.io import wavfile
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, wav_int16)
+    return buf.getvalue()
+
+
+def make_handler(engine):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "queue_depth": engine.queue_depth})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req["text"]
+                wav, sr = engine.submit(
+                    text, req.get("speaker_id", 0),
+                    req.get("sigma", 0.5), req.get("seed", 1234))
+                body = _wav_bytes(wav, sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except KeyError as e:
+                self._json(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                self._json(500, {"error": repr(e)})
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Flowtron-TPU TTS server")
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-p", "--params", nargs="+", default=[])
+    parser.add_argument("-f", "--flowtron_path", required=True)
+    parser.add_argument("-w", "--waveglow_path", default="")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--batch-timeout-ms", type=float, default=20.0)
+    parser.add_argument("--n-frames", type=int, default=400)
+    args = parser.parse_args(argv)
+
+    from flowtron_tpu.cli import _apply_platform_override
+    _apply_platform_override()
+    from flowtron_tpu.config import load_config
+    config = load_config(args.config, args.params)
+
+    engine = SynthesisEngine(config, args.flowtron_path, args.waveglow_path,
+                             max_batch=args.max_batch,
+                             batch_timeout_ms=args.batch_timeout_ms,
+                             n_frames=args.n_frames)
+
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                 make_handler(engine))
+    print(f"serving on :{args.port} (max_batch={args.max_batch})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
