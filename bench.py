@@ -45,31 +45,54 @@ def main():
     text = jnp.asarray(rng.integers(1, 185, (B, Tk)))
     sids = jnp.zeros((B,), jnp.int32)
 
-    infer = jax.jit(lambda p, r, s, t: flowtron_infer(
-        p, cfg, r, s, t, gate_threshold=1e6))
+    # K chained synthesis passes per dispatch: the dev tunnel adds a fixed
+    # ~27 ms round-trip per jitted call, which would otherwise be billed
+    # to the chip. Chaining amortizes it (each pass consumes the previous
+    # pass's output so XLA cannot parallelize or elide them).
+    K = 4
+
+    def run(p, r, s, t):
+        total = jnp.zeros((), jnp.float32)
+        for _ in range(K):
+            mel, _, _ = flowtron_infer(p, cfg, r, s, t, gate_threshold=1e6)
+            total = total + jnp.sum(mel).astype(jnp.float32)
+            r = 0.999 * r + 0.001 * mel
+        return total
+
+    infer = jax.jit(run)
 
     # warmup / compile. NOTE: under the axon tunnel block_until_ready does
     # not wait for remote completion — fetch a scalar to force real sync.
-    mel, attns, n_valid = infer(params, residual, sids, text)
-    float(mel.sum())
+    float(infer(params, residual, sids, text))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        mel, attns, n_valid = infer(params, residual, sids, text)
-        float(mel.sum())
+        float(infer(params, residual, sids, text))
         times.append(time.perf_counter() - t0)
 
     dt = min(times)
-    frames_per_sec = B * N / dt
+    frames_per_sec = K * B * N / dt
+
+    # secondary: int8 weight-only serving mode (fp32 activations;
+    # quality bound tested in tests/test_quantize.py)
+    from flowtron_tpu.infer.quantize import quantize_flows_for_inference
+    qparams = quantize_flows_for_inference(params)
+    float(infer(qparams, residual, sids, text))
+    t0 = time.perf_counter()
+    float(infer(qparams, residual, sids, text))
+    int8_fps = K * B * N / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "mel_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
-        "detail": {"batch": B, "n_frames": N, "seconds": round(dt, 4),
+        "detail": {"batch": B, "n_frames": N, "chained_passes": K,
+                   "seconds": round(dt, 4),
                    "backend": jax.default_backend(), "dtype": "fp32",
-                   "rtf_batch_wallclock": round(dt / (N * 256 / 22050), 4)},
+                   "rtf_batch_wallclock": round(dt / (K * N * 256 / 22050), 4),
+                   "int8_weights_frames_per_sec": round(int8_fps, 1)},
     }))
 
 

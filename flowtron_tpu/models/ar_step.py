@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from flowtron_tpu.models.layers import (
     linear_params, linear_apply, dense_layer_params, dense_layer_apply,
+    resolve_weight,
 )
 from flowtron_tpu.models.attention import (
     attention_params, attention_forward, attention_precompute, attention_step,
@@ -194,8 +195,9 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
 
     Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
     """
+    from flowtron_tpu.infer.quantize import weight_shape
     N, B, n_mel = residual.shape
-    H = params["lstm"]["layers"][0]["w_hh"].shape[0]
+    H = weight_shape(params["lstm"]["layers"][0]["w_hh"])[0]
     n_layers = len(params["lstm"]["layers"])
 
     k_proj, vals = attention_precompute(params["attention_layer"], text, text)
@@ -212,7 +214,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         z_t, prior_t, attn_ext_t = xs
 
         # attention LSTM cell on previous output frame
-        xp = jnp.dot(prev_out, att_layer_p["w_ih"],
+        xp = jnp.dot(prev_out,
+                     resolve_weight(att_layer_p["w_ih"], prev_out.dtype),
                      preferred_element_type=jnp.float32
                      ).astype(prev_out.dtype) + att_bias
         h_att, c_att = lstm_cell(att_layer_p, xp, h_att, c_att)
@@ -245,7 +248,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         x = decoder_input
         new_hs, new_cs = [], []
         for li, layer_p in enumerate(params["lstm"]["layers"]):
-            xp_l = jnp.dot(x, layer_p["w_ih"],
+            xp_l = jnp.dot(x, resolve_weight(layer_p["w_ih"], x.dtype),
                            preferred_element_type=jnp.float32
                            ).astype(x.dtype) \
                 + layer_p["b_ih"] + layer_p["b_hh"]

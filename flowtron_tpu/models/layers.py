@@ -38,9 +38,26 @@ def linear_params(key, in_dim, out_dim, bias=True, w_init_gain="linear",
     return p
 
 
+def resolve_weight(w, dtype=None):
+    """Materialize a (possibly int8-quantized) weight for compute.
+
+    Quantized weights are dicts {"q": int8 (in, out), "s": f32 (out,)}
+    produced by infer/quantize.py. The dequant sits behind an
+    optimization barrier so XLA cannot hoist it out of an inference scan
+    — keeping the loop streaming int8 bytes (the whole point: the AR scan
+    is HBM-bandwidth-bound on weight reads).
+    """
+    if isinstance(w, dict) and "q" in w:
+        q = jax.lax.optimization_barrier(w["q"])
+        out = q.astype(jnp.bfloat16) * w["s"].astype(jnp.bfloat16)
+        return out.astype(dtype) if dtype is not None else out
+    return w
+
+
 def linear_apply(p, x):
     # fp32 MXU accumulation, outputs stored in the compute dtype
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    w = resolve_weight(p["w"], x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"]
     return y

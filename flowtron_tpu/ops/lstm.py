@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flowtron_tpu.models.layers import resolve_weight
+
 
 def lstm_layer_params(key, input_size, hidden_size, dtype=jnp.float32):
     """Uniform(-1/sqrt(H), 1/sqrt(H)) init, torch LSTM default."""
@@ -63,7 +65,7 @@ def lstm_cell(params, x_proj_t, h, c):
 
     x_proj_t: (B, 4H) = x_t @ w_ih + b ;  h, c: (B, H)
     """
-    gates = x_proj_t + jnp.dot(h, params["w_hh"],
+    gates = x_proj_t + jnp.dot(h, resolve_weight(params["w_hh"], h.dtype),
                                preferred_element_type=jnp.float32
                                ).astype(h.dtype)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
