@@ -52,6 +52,8 @@ def inference_main(argv=None):
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("-d", "--denoise", type=float, default=0.0,
                         help="denoiser strength (0 = off; needs -w)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only flows (faster serving mode)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()

@@ -76,6 +76,9 @@ def run_inference(config, args):
     """CLI entry (reference:inference.py:93-132 contract)."""
     data_config = dict(config["data_config"])
     params, static_cfg = load_model_for_inference(config, args.flowtron_path)
+    if getattr(args, "int8", False):
+        from flowtron_tpu.infer.quantize import quantize_flows_for_inference
+        params = quantize_flows_for_inference(params)
 
     ignore_keys = ("training_files", "validation_files")
     dataset = Data(

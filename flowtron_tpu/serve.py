@@ -31,7 +31,7 @@ class SynthesisEngine:
 
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
-                 n_frames=400):
+                 n_frames=400, int8=False):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -49,6 +49,10 @@ class SynthesisEngine:
         self.data_config = data_config
         self.params, self.static_cfg = load_model_for_inference(
             config, flowtron_path)
+        if int8:
+            from flowtron_tpu.infer.quantize import \
+                quantize_flows_for_inference
+            self.params = quantize_flows_for_inference(self.params)
 
         ignore = ("training_files", "validation_files")
         self.frontend = Data(
@@ -231,6 +235,8 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--batch-timeout-ms", type=float, default=20.0)
     parser.add_argument("--n-frames", type=int, default=400)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only flows")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
@@ -241,7 +247,7 @@ def main(argv=None):
     engine = SynthesisEngine(config, args.flowtron_path, args.waveglow_path,
                              max_batch=args.max_batch,
                              batch_timeout_ms=args.batch_timeout_ms,
-                             n_frames=args.n_frames)
+                             n_frames=args.n_frames, int8=args.int8)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
