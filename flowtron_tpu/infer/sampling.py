@@ -53,6 +53,7 @@ def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
         filter_length=data_config["filter_length"],
         hop_length=data_config["hop_length"],
         win_length=data_config["win_length"],
+        n_mel_channels=int(np.asarray(mel).shape[0]),
         sampling_rate=data_config["sampling_rate"],
         mel_fmin=data_config["mel_fmin"], mel_fmax=data_config["mel_fmax"])
     basis = np.asarray(ms.mel_basis)
