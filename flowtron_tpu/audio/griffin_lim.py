@@ -93,3 +93,61 @@ def griffin_lim(magnitudes, stft_forward, stft_inverse, n_iters=30, key=None):
         angles = jnp.angle(spec)
         signal = stft_inverse(magnitudes, angles)
     return signal
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy host path (complex FFT ops are unavailable on some TPU
+# runtimes; the fallback vocoder is host-side work anyway)
+# ---------------------------------------------------------------------------
+
+def istft_numpy(magnitude, phase, filter_length=1024, hop_length=256,
+                win_length=1024):
+    """(n_bins, n_frames) mag/phase -> (T,) waveform, numpy end to end."""
+    from flowtron_tpu.audio.stft import hann_window, pad_center
+
+    window = pad_center(hann_window(win_length).astype(np.float64),
+                        filter_length)
+    spec = magnitude.astype(np.float64) * np.exp(1j * phase.astype(np.float64))
+    frames = np.fft.irfft(spec.T, n=filter_length, axis=-1) * window[None, :]
+
+    n_frames = frames.shape[0]
+    n = filter_length + hop_length * (n_frames - 1)
+    out = np.zeros(n)
+    for i in range(n_frames):
+        out[i * hop_length:i * hop_length + filter_length] += frames[i]
+
+    wss = window_sumsquare(win_length, filter_length, hop_length, n_frames)
+    tiny = np.finfo(np.float32).tiny
+    out = out / np.where(wss > tiny, wss, 1.0)
+    pad = filter_length // 2
+    return out[pad:-pad].astype(np.float32)
+
+
+def griffin_lim_numpy(magnitudes, filter_length=1024, hop_length=256,
+                      win_length=1024, n_iters=30, seed=0):
+    """(n_bins, n_frames) magnitudes -> (T,) waveform, numpy end to end."""
+    from flowtron_tpu.audio.stft import hann_window, pad_center
+
+    window = pad_center(hann_window(win_length).astype(np.float64),
+                        filter_length)
+    rng = np.random.default_rng(seed)
+    angles = rng.uniform(-np.pi, np.pi, magnitudes.shape)
+
+    def forward(signal):
+        pad = filter_length // 2
+        x = np.pad(signal.astype(np.float64), pad, mode="reflect")
+        n_frames = magnitudes.shape[1]
+        frames = np.stack([
+            x[i * hop_length:i * hop_length + filter_length]
+            for i in range(n_frames)
+        ])
+        return np.fft.rfft(frames * window[None, :], axis=-1).T
+
+    signal = istft_numpy(magnitudes, angles, filter_length, hop_length,
+                         win_length)
+    for _ in range(n_iters):
+        spec = forward(signal)
+        angles = np.angle(spec)
+        signal = istft_numpy(magnitudes, angles, filter_length, hop_length,
+                             win_length)
+    return signal

@@ -44,33 +44,20 @@ def synthesize(params, static_cfg, text_ids, speaker_id, n_frames=400,
 
 def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
     """Fallback vocoder: invert the mel filterbank (NNLS-lite: pinv +
-    clamp) then Griffin-Lim phase recovery."""
-    from flowtron_tpu.audio import MelSpectrogram
-    from flowtron_tpu.audio.stft import _frame_signal
-    from flowtron_tpu.audio.griffin_lim import InverseSTFT, griffin_lim
+    clamp) then Griffin-Lim phase recovery. Pure numpy — runs on host
+    regardless of the accelerator (some TPU runtimes lack complex ops)."""
+    from flowtron_tpu.audio.mel import mel_filterbank
+    from flowtron_tpu.audio.griffin_lim import griffin_lim_numpy
 
-    ms = MelSpectrogram(
-        filter_length=data_config["filter_length"],
-        hop_length=data_config["hop_length"],
-        win_length=data_config["win_length"],
-        n_mel_channels=int(np.asarray(mel).shape[0]),
-        sampling_rate=data_config["sampling_rate"],
-        mel_fmin=data_config["mel_fmin"], mel_fmax=data_config["mel_fmax"])
-    basis = np.asarray(ms.mel_basis)
-    mag_est = np.clip(np.linalg.pinv(basis) @ np.exp(np.asarray(mel)), 0, None)
-
-    ist = InverseSTFT(data_config["filter_length"],
-                      data_config["hop_length"], data_config["win_length"])
-
-    def fwd(sig):
-        fr = _frame_signal(sig, data_config["filter_length"],
-                           data_config["hop_length"])
-        return jnp.fft.rfft(fr * ms.window[None, None, :],
-                            axis=-1).swapaxes(1, 2)
-
-    audio = griffin_lim(jnp.asarray(mag_est[None]), fwd, ist,
-                        n_iters=n_iters, key=jax.random.PRNGKey(seed))
-    return np.asarray(audio)[0]
+    basis = mel_filterbank(
+        data_config["sampling_rate"], data_config["filter_length"],
+        int(np.asarray(mel).shape[0]), data_config["mel_fmin"],
+        data_config["mel_fmax"])
+    mag_est = np.clip(np.linalg.pinv(basis) @ np.exp(np.asarray(mel)),
+                      0, None)
+    return griffin_lim_numpy(
+        mag_est, data_config["filter_length"], data_config["hop_length"],
+        data_config["win_length"], n_iters=n_iters, seed=seed)
 
 
 def run_inference(config, args):

@@ -111,3 +111,25 @@ class TestInverseSTFT:
         interior = wss[1024:-1024]
         # hann with 75% overlap sums to a constant 1.5
         np.testing.assert_allclose(interior, 1.5, rtol=1e-6)
+
+
+class TestNumpyGriffinLim:
+    def test_istft_numpy_roundtrip(self, audio_batch):
+        window = torch.hann_window(1024, periodic=True)
+        spec = torch.stft(torch.from_numpy(audio_batch[:1]), n_fft=1024,
+                          hop_length=256, win_length=1024, window=window,
+                          center=True, pad_mode="reflect",
+                          return_complex=True)
+        from flowtron_tpu.audio.griffin_lim import istft_numpy
+        recon = istft_numpy(np.abs(spec.numpy())[0],
+                            np.angle(spec.numpy())[0])
+        n = min(len(recon), audio_batch.shape[1])
+        np.testing.assert_allclose(recon[1024:n - 1024],
+                                   audio_batch[0, 1024:n - 1024], atol=1e-3)
+
+    def test_griffin_lim_numpy_runs(self):
+        from flowtron_tpu.audio.griffin_lim import griffin_lim_numpy
+        rng = np.random.default_rng(0)
+        mags = np.abs(rng.standard_normal((513, 12))).astype(np.float32)
+        sig = griffin_lim_numpy(mags, n_iters=3)
+        assert np.isfinite(sig).all() and len(sig) > 0
