@@ -38,3 +38,32 @@ def shard_batch(batch, mesh, axis="data"):
     """Place a host batch dict onto the mesh, batch-axis sharded."""
     sharding = data_sharded(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def param_shardings(params, mesh, model_axis="model", min_cols=8):
+    """Tensor-parallel layout: shard the last axis of large 2-D weights
+    over the model axis (GSPMD inserts the all-gathers/psums over ICI);
+    everything else replicated. No-op P() tree when the mesh has no
+    model axis.
+
+    This generalizes the reference's replicated-weights data parallelism
+    (reference:distributed.py) to 2-D (data x model) meshes.
+    """
+    if model_axis in mesh.axis_names:
+        size = mesh.shape[model_axis]
+    else:
+        size = 1
+
+    def spec(x):
+        if (size > 1 and hasattr(x, "ndim") and x.ndim == 2
+                and x.shape[1] % size == 0 and x.shape[1] >= min_cols):
+            return NamedSharding(mesh, P(None, model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def place_params(params, mesh, model_axis="model"):
+    """Device-put a param pytree according to param_shardings."""
+    shardings = param_shardings(params, mesh, model_axis)
+    return jax.tree.map(jax.device_put, params, shardings)

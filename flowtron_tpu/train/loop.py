@@ -26,7 +26,7 @@ from flowtron_tpu.data import (
     Data, DataCollate, BatchIterator, PrefetchIterator,
 )
 from flowtron_tpu.parallel.mesh import (
-    make_mesh, replicated, data_sharded,
+    make_mesh, replicated, data_sharded, place_params,
 )
 
 
@@ -64,10 +64,12 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
 
     repl = replicated(mesh)
     bshard = data_sharded(mesh)
+    # params/opt_state shardings are inherited from their placement
+    # (replicated for pure DP; last-axis 'model'-sharded big weights when
+    # the mesh has a model axis — see parallel.mesh.place_params)
     return jax.jit(
         step,
-        in_shardings=(repl, repl, bshard, repl, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(None, None, bshard, repl, repl),
         donate_argnums=(0, 1),
     )
 
@@ -94,9 +96,8 @@ def make_eval_step(model_config_static, mesh, train_config):
         return {"nll": nll, "gate": gate, "ctc": ctc,
                 "attn": attn, "gate_pred": gate_pred}
 
-    repl = replicated(mesh)
     bshard = data_sharded(mesh)
-    return jax.jit(step, in_shardings=(repl, bshard),
+    return jax.jit(step, in_shardings=(None, bshard),
                    out_shardings=None)
 
 
@@ -162,6 +163,8 @@ def train(config):
           f"global batch {batch_size}")
 
     params, static_cfg = flowtron_init(init_key, **model_config)
+    # tensor-parallel weight layout when the mesh has a 'model' axis
+    params = place_params(params, mesh)
 
     mask = trainable_mask(params, train_config.get("finetune_layers", ()))
     base_opt = build_optimizer(
@@ -173,7 +176,7 @@ def train(config):
     optimizer = _optax.masked(base_opt, mask)
 
     iteration = 0
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)  # inherits param shardings
     if train_config.get("warmstart_checkpoint_path"):
         params = warmstart(train_config["warmstart_checkpoint_path"], params,
                            train_config.get("include_layers") or None)

@@ -182,3 +182,40 @@ class TestResume:
         p3, o3_r, l_b = run(p3, o3_r, step3, 2, 2)
 
         np.testing.assert_allclose(l_a + l_b, l_all, rtol=1e-5)
+
+
+class TestTensorParallel:
+    def test_2d_mesh_matches_dp(self):
+        """(4 data x 2 model) GSPMD weight sharding == pure DP losses."""
+        from flowtron_tpu.parallel.mesh import place_params, param_shardings
+        from jax.sharding import PartitionSpec as P
+
+        mesh2d = make_mesh((4, 2), ("data", "model"))
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, **SMALL)
+        shardings = param_shardings(params, mesh2d)
+        # big 2D weights got the model axis
+        s = shardings["flows"][0]["lstm"]["layers"][0]["w_ih"]
+        assert s.spec == P(None, "model")
+
+        params = place_params(params, mesh2d)
+        opt = optax.masked(
+            build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
+                            TRAIN_CFG["weight_decay"],
+                            TRAIN_CFG["grad_clip_val"]),
+            trainable_mask(params))
+        opt_state = jax.jit(opt.init)(params)
+        step = make_train_step(cfg, mesh2d, opt, TRAIN_CFG)
+        shard = data_sharded(mesh2d)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        losses = []
+        for i in range(4):
+            params, opt_state, m = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(5), i),
+                jnp.asarray(0.01))
+            losses.append(float(m["loss"]))
+
+        ref = _run(make_mesh((1,)), n_steps=4)
+        np.testing.assert_allclose(losses, ref, rtol=2e-3)
