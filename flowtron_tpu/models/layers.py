@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flowtron_tpu.utils.weights import resolve_weight  # noqa: F401 (re-export)
+
 _GAINS = {
     "linear": 1.0,
     "tanh": 5.0 / 3.0,
@@ -36,22 +38,6 @@ def linear_params(key, in_dim, out_dim, bias=True, w_init_gain="linear",
     if bias:
         p["b"] = jnp.zeros((out_dim,), dtype)
     return p
-
-
-def resolve_weight(w, dtype=None):
-    """Materialize a (possibly int8-quantized) weight for compute.
-
-    Quantized weights are dicts {"q": int8 (in, out), "s": f32 (out,)}
-    produced by infer/quantize.py. The dequant sits behind an
-    optimization barrier so XLA cannot hoist it out of an inference scan
-    — keeping the loop streaming int8 bytes (the whole point: the AR scan
-    is HBM-bandwidth-bound on weight reads).
-    """
-    if isinstance(w, dict) and "q" in w:
-        q = jax.lax.optimization_barrier(w["q"])
-        out = q.astype(jnp.bfloat16) * w["s"].astype(jnp.bfloat16)
-        return out.astype(dtype) if dtype is not None else out
-    return w
 
 
 def linear_apply(p, x):

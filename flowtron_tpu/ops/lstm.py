@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtron_tpu.models.layers import resolve_weight
+from flowtron_tpu.utils.weights import resolve_weight
 
 
 def lstm_layer_params(key, input_size, hidden_size, dtype=jnp.float32):
