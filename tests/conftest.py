@@ -19,6 +19,10 @@ import jax  # noqa: E402
 # unit tests must run on the virtual 8-device CPU platform instead.
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: do NOT enable the persistent compile cache for CPU tests — XLA:CPU
+# AOT results here carry machine-feature flags that mismatch the host
+# ("prefer-no-scatter ... could lead to SIGILL").
+
 import pytest  # noqa: E402
 
 

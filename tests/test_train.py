@@ -219,3 +219,34 @@ class TestTensorParallel:
 
         ref = _run(make_mesh((1,)), n_steps=4)
         np.testing.assert_allclose(losses, ref, rtol=2e-3)
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        """train_config.remat=True gives identical losses (recompute only)."""
+        mesh = make_mesh((1,))
+        shard = data_sharded(mesh)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+
+        def run_cfg(cfg):
+            params, mcfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                         use_gate_layer=True, **SMALL)
+            opt = optax.masked(
+                build_optimizer("RAdam", cfg["learning_rate"],
+                                cfg["weight_decay"], cfg["grad_clip_val"]),
+                trainable_mask(params))
+            opt_state = opt.init(params)
+            step = make_train_step(mcfg, mesh, opt, cfg)
+            losses = []
+            for i in range(3):
+                params, opt_state, m = step(
+                    params, opt_state, batch,
+                    jax.random.fold_in(jax.random.PRNGKey(5), i),
+                    jnp.asarray(0.01))
+                losses.append(float(m["loss"]))
+            return losses
+
+        plain = run_cfg(dict(TRAIN_CFG))
+        remat = run_cfg(dict(TRAIN_CFG, remat=True))
+        np.testing.assert_allclose(remat, plain, rtol=1e-5)
