@@ -98,7 +98,8 @@ def _cumm_attention_scan(params, attention_hidden, text, key_mask,
     return contexts, attns, logprob
 
 
-def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
+def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None,
+                    remat=False):
     """Teacher-forced forward flow.
 
     Args:
@@ -115,7 +116,7 @@ def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
     mel0 = jnp.concatenate([dummy, mel[:-1]], axis=0)
 
     attention_hidden, _ = lstm_forward(params["attention_lstm"], mel0,
-                                       out_mask)
+                                       out_mask, remat=remat)
     if "attn_cond_layer" in params:
         context, attn, attn_logprob = _cumm_attention_scan(
             params, attention_hidden, text, key_mask)
@@ -132,7 +133,8 @@ def ar_step_forward(params, mel, text, key_mask, out_mask, attn_prior=None):
     if "gate_layer" in params:
         gates = linear_apply(params["gate_layer"], decoder_input)  # (T,B,1)
 
-    lstm_hidden, _ = lstm_forward(params["lstm"], decoder_input, out_mask)
+    lstm_hidden, _ = lstm_forward(params["lstm"], decoder_input, out_mask,
+                                  remat=remat)
     hidden = dense_layer_apply(params["dense_layer"], lstm_hidden)
     decoder_output = linear_apply(params["conv"], hidden)  # (T, B, 2*mel)
 
@@ -161,7 +163,7 @@ def _flip_prior(prior, lengths):
 
 
 def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
-                         attn_prior=None):
+                         attn_prior=None, remat=False):
     """Backward flow: run ar_step on time-reversed mel.
 
     Matches reference:flowtron.py:605-627: mel comes back un-flipped;
@@ -173,7 +175,7 @@ def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
     prior_f = _flip_prior(attn_prior, out_lens) if attn_prior is not None \
         else None
     mel_out, log_s, gates, attn, attn_logprob = ar_step_forward(
-        params, mel_f, text, key_mask, out_mask, prior_f)
+        params, mel_f, text, key_mask, out_mask, prior_f, remat=remat)
     mel_out = _flip_time(mel_out, out_lens)
     return mel_out, log_s, gates, attn, attn_logprob
 

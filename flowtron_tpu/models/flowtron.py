@@ -92,7 +92,8 @@ def _encode_text(params, config, speaker_ids, text, in_lens_mask=None,
 
 def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
                      out_lens, attn_prior=None, train=False,
-                     dropout_key=None, compute_dtype=None):
+                     dropout_key=None, compute_dtype=None,
+                     remat_scans=False):
     """Training-direction pass: mel -> z.
 
     Args:
@@ -144,11 +145,11 @@ def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
         if i % 2 == 0:
             z, log_s, gate, attn, attn_logprob = ar_step_forward(
                 flow_params, z, encoder_outputs, key_mask, out_mask_tb,
-                attn_prior)
+                attn_prior, remat=remat_scans)
         else:
             z, log_s, gate, attn, attn_logprob = ar_back_step_forward(
                 flow_params, z, encoder_outputs, key_mask, out_mask_tb,
-                out_lens, attn_prior)
+                out_lens, attn_prior, remat=remat_scans)
         if gate is not None:
             gate_pred = gate
         log_s_list.append(log_s)

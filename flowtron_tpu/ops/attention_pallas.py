@@ -90,14 +90,44 @@ def _scores_fwd(q, k, v_w, temperature):
 
 
 def _scores_bwd(temperature, res, ds):
+    """Backward in Tq chunks: the naive form materializes the
+    (B, Tq, Tk, D) tanh tensor once for reuse across the three grads —
+    12 GB at B=32/T=768/Tk=192/D=640, which spills HBM. Chunking bounds
+    the live intermediate to (B, CQ, Tk, D)."""
     q, k, v_w = res
-    ds = ds / temperature
-    th = jnp.tanh(q[:, :, None, :] + k[:, None, :, :])   # fused by XLA
-    sech2_v = (1.0 - th * th) * v_w                      # (B,Tq,Tk,D) virtual
-    dq = jnp.einsum("bqt,bqtd->bqd", ds, sech2_v)
-    dk = jnp.einsum("bqt,bqtd->btd", ds, sech2_v)
-    dv = jnp.einsum("bqt,bqtd->d", ds, th)
-    return dq, dk, dv
+    in_dtypes = (q.dtype, k.dtype, v_w.dtype)
+    # accumulate gradients in fp32 regardless of the compute dtype
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    v_w = v_w.astype(jnp.float32)
+    ds = ds.astype(jnp.float32) / temperature
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+
+    # ~256 MB fp32 intermediate per chunk
+    cq = max(1, int(64 * 1024 * 1024 / max(1, B * Tk * D)))
+    n_chunks = -(-Tq // cq)
+    pad = n_chunks * cq - Tq
+    q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    ds_p = jnp.pad(ds, ((0, 0), (0, pad), (0, 0)))
+    q_c = q_p.reshape(B, n_chunks, cq, D).transpose(1, 0, 2, 3)
+    ds_c = ds_p.reshape(B, n_chunks, cq, Tk).transpose(1, 0, 2, 3)
+
+    def body(carry, inp):
+        dk_acc, dv_acc = carry
+        qc, dsc = inp                                    # (B,CQ,D),(B,CQ,Tk)
+        th = jnp.tanh(qc[:, :, None, :] + k[:, None, :, :])
+        sech2_v = (1.0 - th * th) * v_w
+        dq_c = jnp.einsum("bqt,bqtd->bqd", dsc, sech2_v)
+        dk_acc = dk_acc + jnp.einsum("bqt,bqtd->btd", dsc, sech2_v)
+        dv_acc = dv_acc + jnp.einsum("bqt,bqtd->d", dsc, th)
+        return (dk_acc, dv_acc), dq_c
+
+    init = (jnp.zeros_like(k), jnp.zeros_like(v_w))
+    (dk, dv), dq_chunks = jax.lax.scan(body, init, (q_c, ds_c))
+    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(B, n_chunks * cq, D)
+    return (dq[:, :Tq].astype(in_dtypes[0]), dk.astype(in_dtypes[1]),
+            dv.astype(in_dtypes[2]))
 
 
 attention_scores.defvjp(_scores_fwd, _scores_bwd)

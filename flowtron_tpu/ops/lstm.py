@@ -78,7 +78,8 @@ def lstm_cell(params, x_proj_t, h, c):
     return h_new, c_new
 
 
-def lstm_single_direction(params, x, mask=None, reverse=False, init=None):
+def lstm_single_direction(params, x, mask=None, reverse=False, init=None,
+                          remat=False):
     """Run one LSTM direction over a full sequence.
 
     Args:
@@ -87,18 +88,33 @@ def lstm_single_direction(params, x, mask=None, reverse=False, init=None):
       mask: (T, B) bool/float validity mask or None.
       reverse: scan from t=T-1 down to 0 (output stays in input order).
       init: optional (h0, c0), each (B, H).
+      remat: memory-efficient mode for long sequences / big batches —
+        skips the hoisted (T, B, 4H) input-projection buffer (the
+        dominant saved activation in backprop) and rematerializes each
+        step's gates from the carry during the backward pass.
 
     Returns:
       outputs (T, B, H) — zeroed at masked steps — and final (h, c).
     """
     T, B = x.shape[0], x.shape[1]
     H = params["w_hh"].shape[0]
-
-    # Hoisted input projection: one big MXU matmul over all timesteps.
     bias = params["b_ih"] + params["b_hh"]
-    x_proj = jnp.dot(x, params["w_ih"],
-                     preferred_element_type=jnp.float32
-                     ).astype(x.dtype) + bias
+
+    if remat:
+        # project per step inside the (checkpointed) cell: saved state is
+        # x itself, not the 4x larger projection
+        def project(x_t):
+            return jnp.dot(x_t, resolve_weight(params["w_ih"], x_t.dtype),
+                           preferred_element_type=jnp.float32
+                           ).astype(x_t.dtype) + bias
+        xs_main = x
+    else:
+        # Hoisted input projection: one big MXU matmul over all timesteps.
+        def project(xp_t):
+            return xp_t
+        xs_main = jnp.dot(x, params["w_ih"],
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype) + bias
 
     if init is None:
         h0 = jnp.zeros((B, H), x.dtype)
@@ -107,44 +123,51 @@ def lstm_single_direction(params, x, mask=None, reverse=False, init=None):
         h0, c0 = init
 
     if mask is None:
-        def step(carry, xp_t):
+        def step(carry, x_t):
             h, c = carry
-            h, c = lstm_cell(params, xp_t, h, c)
+            h, c = lstm_cell(params, project(x_t), h, c)
             return (h, c), h
 
-        (h, c), ys = jax.lax.scan(step, (h0, c0), x_proj, reverse=reverse)
+        if remat:
+            step = jax.checkpoint(step)
+        (h, c), ys = jax.lax.scan(step, (h0, c0), xs_main, reverse=reverse)
         return ys, (h, c)
 
     mask_f = mask.astype(x.dtype)[..., None]  # (T, B, 1)
 
     def step(carry, inp):
         h, c = carry
-        xp_t, m_t = inp
-        h_new, c_new = lstm_cell(params, xp_t, h, c)
+        x_t, m_t = inp
+        h_new, c_new = lstm_cell(params, project(x_t), h, c)
         h = m_t * h_new + (1.0 - m_t) * h
         c = m_t * c_new + (1.0 - m_t) * c
         return (h, c), h_new * m_t
 
-    (h, c), ys = jax.lax.scan(step, (h0, c0), (x_proj, mask_f),
+    if remat:
+        step = jax.checkpoint(step)
+    (h, c), ys = jax.lax.scan(step, (h0, c0), (xs_main, mask_f),
                               reverse=reverse)
     return ys, (h, c)
 
 
-def lstm_forward(params, x, mask=None, init=None):
+def lstm_forward(params, x, mask=None, init=None, remat=False):
     """Multi-layer unidirectional LSTM. Returns (outputs, [(h, c)] per layer)."""
     finals = []
     if init is None:
         init = [None] * len(params["layers"])
     for layer, layer_init in zip(params["layers"], init):
-        x, hc = lstm_single_direction(layer, x, mask, init=layer_init)
+        x, hc = lstm_single_direction(layer, x, mask, init=layer_init,
+                                      remat=remat)
         finals.append(hc)
     return x, finals
 
 
-def bilstm_forward(params, x, mask=None):
+def bilstm_forward(params, x, mask=None, remat=False):
     """Multi-layer bidirectional LSTM; outputs concat fwd‖bwd per layer."""
     for layer in params["layers"]:
-        fwd, _ = lstm_single_direction(layer["fwd"], x, mask, reverse=False)
-        bwd, _ = lstm_single_direction(layer["bwd"], x, mask, reverse=True)
+        fwd, _ = lstm_single_direction(layer["fwd"], x, mask, reverse=False,
+                                       remat=remat)
+        bwd, _ = lstm_single_direction(layer["bwd"], x, mask, reverse=True,
+                                       remat=remat)
         x = jnp.concatenate([fwd, bwd], axis=-1)
     return x

@@ -39,27 +39,19 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
     blank_logprob = float(train_config.get("blank_logprob", -1))
     # fp16_run selects the bfloat16 compute policy on TPU
     compute_dtype = jnp.bfloat16 if train_config.get("fp16_run") else None
-    # remat trades recompute for activation memory across the flows
-    # (jax.checkpoint over the whole forward; statics are closed over so
-    # only array args are traced)
+    # remat = scan-level rematerialization: the LSTM scans skip the hoisted
+    # (T, B, 4H) projection buffers and recompute per-step gates in the
+    # backward pass (ops/lstm.py lstm_single_direction(remat=True))
     use_remat = bool(train_config.get("remat"))
 
     def step(params, opt_state, batch, dropout_key, ctc_weight):
-        def forward(p, mel, sids, text, in_lens, out_lens, prior, dk):
-            return flowtron_forward(
-                p, model_config_static, mel, sids, text, in_lens, out_lens,
-                attn_prior=prior, train=True, dropout_key=dk,
-                compute_dtype=compute_dtype)
-
-        fwd = jax.checkpoint(
-            forward,
-            policy=jax.checkpoint_policies.nothing_saveable)             if use_remat else forward
-
         def loss_fn(p):
-            out = fwd(
-                p, batch["mel"], batch["speaker_ids"],
+            out = flowtron_forward(
+                p, model_config_static, batch["mel"], batch["speaker_ids"],
                 batch["text"], batch["in_lens"], batch["out_lens"],
-                batch.get("attn_prior"), dropout_key)
+                attn_prior=batch.get("attn_prior"), train=True,
+                dropout_key=dropout_key, compute_dtype=compute_dtype,
+                remat_scans=use_remat)
             nll, gate, ctc = flowtron_loss(
                 out, batch["gate_target"], batch["in_lens"],
                 batch["out_lens"], sigma=sigma, gm_loss=gm_loss,
