@@ -98,10 +98,57 @@ def remove_hyphens(text):
     return re.sub(r"(?<=\w)(-)(?=\w)", " ", text)
 
 
+# First-party unidecode stand-in (reference:text/cleaners.py:16 uses the
+# unidecode package, unavailable here). NFKD strips accents (é -> e); this
+# table transliterates what NFKD cannot decompose: Latin ligatures/letters,
+# Greek, Cyrillic, and common punctuation/symbols. Unmapped scripts (CJK,
+# Arabic, ...) are dropped — documented divergence from unidecode, which
+# carries full per-script tables.
+_TRANSLIT = {
+    # Latin letters without NFKD decompositions
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "ð": "d", "Ð": "D", "þ": "th", "Þ": "Th",
+    "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ı": "i", "ł": "l", "Ł": "L",
+    "ŋ": "ng", "Ŋ": "NG", "ĸ": "k", "ſ": "s",
+    # punctuation / symbols
+    "–": "-", "—": "--", "―": "-", "‐": "-", "‑": "-", "−": "-",
+    "‘": "'", "’": "'", "‚": ",", "“": '"', "”": '"', "„": '"',
+    "«": '"', "»": '"', "‹": "'", "›": "'", "…": "...", "•": "*",
+    "·": ".", "¡": "!", "¿": "?", "§": "SS", "¶": "P", "†": "+",
+    "°": "deg", "µ": "u", "×": "x", "÷": "/", "±": "+-",
+    "©": "(c)", "®": "(r)", "™": "(tm)",
+    "€": "EUR", "£": "PS", "¥": "Y=", "¢": "C/",
+    # Greek
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+    "ω": "o",
+    "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z",
+    "Η": "E", "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M",
+    "Ν": "N", "Ξ": "X", "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S",
+    "Τ": "T", "Υ": "U", "Φ": "Ph", "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+    # Cyrillic
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l",
+    "м": "m", "н": "n", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts", "ч": "ch",
+    "ш": "sh", "щ": "shch", "ъ": '"', "ы": "y", "ь": "'", "э": "e",
+    "ю": "yu", "я": "ya",
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E",
+    "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L",
+    "М": "M", "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S",
+    "Т": "T", "У": "U", "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch",
+    "Ш": "Sh", "Щ": "Shch", "Ъ": '"', "Ы": "Y", "Ь": "'", "Э": "E",
+    "Ю": "Yu", "Я": "Ya",
+}
+
+
 def convert_to_ascii(text):
-    """ASCII fold (unidecode stand-in: NFKD decomposition, drop combining)."""
+    """Transliterating ASCII fold (unidecode stand-in)."""
     decomposed = unicodedata.normalize("NFKD", text)
-    return decomposed.encode("ascii", "ignore").decode("ascii")
+    return "".join(ch if ord(ch) < 128 else _TRANSLIT.get(ch, "")
+                   for ch in decomposed)
 
 
 def basic_cleaners(text):

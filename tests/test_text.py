@@ -152,6 +152,47 @@ class TestCleaners:
             "it was seventy-five fahrenheit outside"
 
 
+class TestTransliteration:
+    """Golden tests for the unidecode-grade ASCII fold
+    (reference pipelines: reference:text/cleaners.py:63-70,99-112)."""
+
+    def test_accents_nfkd(self):
+        assert cleaners.convert_to_ascii("café naïve São Tomé") == \
+            "cafe naive Sao Tome"
+
+    def test_latin_specials_transliterated_not_deleted(self):
+        assert cleaners.convert_to_ascii("Straße") == "Strasse"
+        assert cleaners.convert_to_ascii("Ærø") == "AEro"
+        assert cleaners.convert_to_ascii("œuvre") == "oeuvre"
+        assert cleaners.convert_to_ascii("Þórður") == "Thordur"
+        assert cleaners.convert_to_ascii("Łódź") == "Lodz"
+
+    def test_greek(self):
+        assert cleaners.convert_to_ascii("αβγ Ωμέγα χψ") == "abg Omega khps"
+
+    def test_cyrillic(self):
+        assert cleaners.convert_to_ascii("Щука живёт") == "Shchuka zhivet"
+        assert cleaners.convert_to_ascii("Юрий Чайковский") == \
+            "Yurii Chaikovskii"
+
+    def test_punctuation_and_symbols(self):
+        assert cleaners.convert_to_ascii("“quoted” — it’s…") == \
+            '"quoted" -- it\'s...'
+        assert cleaners.convert_to_ascii("25°C © 2020") == "25degC (c) 2020"
+
+    def test_unmapped_scripts_dropped(self):
+        # documented divergence from unidecode: no CJK tables in-tree
+        assert cleaners.convert_to_ascii("abc漢字def") == "abcdef"
+
+    def test_transliteration_cleaners_pipeline(self):
+        assert cleaners.transliteration_cleaners("  Große   ΔΩΜΑ  ") == \
+            " grosse doma "
+
+    def test_english_cleaners_pipeline(self):
+        assert cleaners.english_cleaners("Dr. Müller bought 2 œufs") == \
+            "doctor muller bought two oeufs"
+
+
 class TestArpabet:
     def test_lookup(self, mini_cmudict, mini_heteronyms):
         cmu = CMUDict(mini_cmudict, keep_ambiguous=False)
