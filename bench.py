@@ -1,9 +1,11 @@
 """Benchmark: AR mel-synthesis throughput on the flagship (LJS 2-flow,
-1024-hidden) model — the BASELINE.json north-star metric.
+1024-hidden) model — the BASELINE.json north-star metric — plus the
+end-to-end RTF (AR mel -> WaveGlow vocoder -> waveform, gate enabled),
+the BASELINE.json *primary* metric.
 
 Prints ONE JSON line:
   {"metric": "mel_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 2870}
+   "vs_baseline": N / 2870, "e2e_rtf": R, ...}
 
 Baseline anchor: RTF 0.03 on a v5e chip = 22050/256/0.03 ~= 2870 frames/s
 (see BASELINE.md). Runs on whatever the default JAX backend is (the real
@@ -83,17 +85,78 @@ def main():
     float(infer(qparams, residual, sids, text))
     int8_fps = K * B * N / (time.perf_counter() - t0)
 
+    e2e_rtf, e2e_detail = bench_e2e(params, cfg)
+
     print(json.dumps({
         "metric": "mel_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+        "e2e_rtf": e2e_rtf,
         "detail": {"batch": B, "n_frames": N, "chained_passes": K,
                    "seconds": round(dt, 4),
                    "backend": jax.default_backend(), "dtype": "fp32",
                    "rtf_batch_wallclock": round(dt / (K * N * 256 / 22050), 4),
-                   "int8_weights_frames_per_sec": round(int8_fps, 1)},
+                   "int8_weights_frames_per_sec": round(int8_fps, 1),
+                   "e2e": e2e_detail},
     }))
+
+
+def bench_e2e(params, cfg, B=8, N=400, K=2):
+    """End-to-end RTF: text+latents -> AR mel (gate ENABLED, threshold 0.5,
+    the reference's default op point) -> WaveGlow-style vocoder -> waveform.
+    bf16 weights/activations (the TPU serving configuration; fp32 is the
+    parity configuration, tested elsewhere). RTF = wallclock / audio
+    duration for B concurrent streams.
+    """
+    from flowtron_tpu.models import flowtron_infer
+    from flowtron_tpu.vocoder import waveglow_init, waveglow_infer
+
+    wg_params, wg_cfg = waveglow_init(jax.random.PRNGKey(1))
+
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    p16, wg16 = to_bf16(params), to_bf16(wg_params)
+    rng = np.random.default_rng(1)
+    residual = jnp.asarray(
+        (rng.standard_normal((B, 80, N)) * 0.5).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    text = jnp.asarray(rng.integers(1, 185, (B, 128)))
+    sids = jnp.zeros((B,), jnp.int32)
+
+    def run(p, wgp, r, s, t):
+        total = jnp.zeros((), jnp.float32)
+        for i in range(K):
+            # gate enabled: early-exit semantics run under jit on device
+            mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
+                                             gate_threshold=0.5)
+            audio = waveglow_infer(wgp, wg_cfg, mel, sigma=0.8,
+                                   key=jax.random.PRNGKey(i))
+            total = (total + jnp.sum(audio).astype(jnp.float32)
+                     + (0.0 if n_valid is None
+                        else jnp.sum(n_valid).astype(jnp.float32)))
+            r = 0.999 * r + 0.001 * mel  # chain passes (see note above)
+        return total
+
+    e2e = jax.jit(run)
+    float(e2e(p16, wg16, residual, sids, text))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(e2e(p16, wg16, residual, sids, text))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    audio_seconds = K * N * 256 / 22050
+    rtf = dt / audio_seconds
+    return round(rtf, 4), {
+        "batch": B, "n_frames": N, "chained_passes": K,
+        "seconds": round(dt, 4), "dtype": "bf16",
+        "gate_threshold": 0.5,
+        "streams_x_realtime": round(B / rtf, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -36,6 +36,9 @@ DEFAULT_CONFIG = {
         "blank_logprob": -8,
         "ctc_loss_start_iter": 10000,
         "profile_dir": "",
+        # directory-based per-shard checkpoint format (sharded_ckpt.py)
+        # instead of the single-file pickle
+        "sharded_checkpoints": False,
     },
     "data_config": {
         "training_files": "filelists/train.txt",

@@ -221,9 +221,19 @@ class AsyncSaver:
         self._thread = None
 
     def save(self, path, params, opt_state, iteration, learning_rate,
-             config=None):
+             config=None, sharded=False):
         import threading
         self.wait()
+        if sharded:
+            # snapshot per-shard on this thread (no full-array gather),
+            # write files off-thread
+            from flowtron_tpu.train.sharded_ckpt import snapshot, write_plan
+            plan = snapshot(params, opt_state, iteration, learning_rate,
+                            config)
+            self._thread = threading.Thread(
+                target=write_plan, args=(path, plan), daemon=True)
+            self._thread.start()
+            return
         host_params = jax.tree.map(np.asarray, params)
         host_opt = jax.tree.map(
             lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state)
@@ -257,7 +267,12 @@ def _write_checkpoint(path, host_params, host_opt, iteration,
 
 
 def save_checkpoint(path, params, opt_state, iteration, learning_rate,
-                    config=None):
+                    config=None, sharded=False):
+    if sharded:
+        from flowtron_tpu.train.sharded_ckpt import save_sharded
+        save_sharded(path, params, opt_state, iteration, learning_rate,
+                     config)
+        return
     _write_checkpoint(
         path,
         jax.tree.map(np.asarray, params),
@@ -268,9 +283,17 @@ def save_checkpoint(path, params, opt_state, iteration, learning_rate,
 
 def load_checkpoint(path, params, opt_state=None, ignore_layers=()):
     """Resume. With ignore_layers, those params keep their fresh values and
-    the optimizer state is NOT restored (reference:train.py:116-123)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    the optimizer state is NOT restored (reference:train.py:116-123).
+
+    A directory path selects the sharded format (sharded_ckpt.py), whose
+    restore is sharding-aware: saved arrays land directly on the devices /
+    layouts of the current `params` / `opt_state` templates."""
+    if os.path.isdir(path):
+        from flowtron_tpu.train.sharded_ckpt import restore_sharded
+        payload = restore_sharded(path, params, opt_state)
+    else:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
 
     saved_params = payload["params"]
     if ignore_layers:
@@ -302,15 +325,21 @@ def warmstart(path, params, include_layers=None):
               for k, v in sd.items()}
         params, _ = import_torch_state_dict(params, sd, include_layers)
         return params
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    flat_saved = _flatten(payload["params"])
+    if os.path.isdir(path):
+        from flowtron_tpu.train.sharded_ckpt import restore_flat
+        flat_saved = {k: v for k, v in restore_flat(path).items()
+                      if not k.startswith("opt.")}
+    else:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        flat_saved = _flatten(payload["params"])
     flat_new = _flatten(params)
     for k, v in flat_saved.items():
         if include_layers is not None and \
                 not any(s in k for s in include_layers):
             continue
-        if k in flat_new and flat_new[k].shape == v.shape:
+        if k in flat_new and hasattr(v, "shape") and \
+                flat_new[k].shape == v.shape:
             flat_new[k] = jnp.asarray(v)
     return _unflatten(flat_new, params)
 

@@ -130,12 +130,28 @@ def _device_batch(batch, mesh):
     return {k: jax.device_put(v, sharding) for k, v in clean.items()}
 
 
+def _pad_batch_to_divisible(batch, m):
+    """Tile a (possibly short) final validation batch so its leading dim is
+    divisible by the data-axis size; duplicated samples slightly re-weight
+    the val mean, matching the reference's batch-mean-of-means
+    approximation (reference:train.py:142-202)."""
+    n = len(next(iter(batch.values())))
+    pad = (-n) % m
+    if pad == 0:
+        return batch
+    idx = np.arange(n + pad) % n
+    return {k: v[idx] for k, v in batch.items()}
+
+
 def compute_validation_loss(eval_step, params, val_loader, mesh,
                             ctc_weight):
+    data_axis = dict(mesh.shape).get("data", 1)
     totals = {"nll": 0.0, "gate": 0.0, "ctc": 0.0}
     n = 0
     last = None
     for batch in val_loader:
+        batch = {k: v for k, v in batch.items() if v is not None}
+        batch = _pad_batch_to_divisible(batch, data_axis)
         out = eval_step(params, _device_batch(batch, mesh))
         for k in totals:
             totals[k] += float(out[k])
@@ -257,7 +273,9 @@ def train(config):
                         last, iteration)
                 ckpt = os.path.join(output_directory, f"model_{iteration}")
                 saver.save(ckpt, params, opt_state, iteration,
-                           float(train_config["learning_rate"]), config)
+                           float(train_config["learning_rate"]), config,
+                           sharded=bool(
+                               train_config.get("sharded_checkpoints")))
             iteration += 1
 
     saver.wait()
