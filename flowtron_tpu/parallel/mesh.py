@@ -12,8 +12,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(mesh_shape=(-1,), axis_names=("data",), devices=None):
-    """Create a Mesh; a -1 dim absorbs all remaining devices."""
+def maybe_initialize_distributed(dist_config):
+    """Multi-host wiring: jax.distributed.initialize replaces the
+    reference's NCCL TCP rendezvous (reference:distributed.py:28-44).
+
+    dist_config keys (all optional):
+      multiprocess: true -> initialize() with auto-detection (TPU pods)
+      coordinator_address / num_processes / process_id -> explicit
+        rendezvous, the moral equivalent of MASTER_ADDR/RANK/WORLD_SIZE
+    Returns True when a multi-process runtime was initialized.
+    """
+    if dist_config.get("coordinator_address"):
+        jax.distributed.initialize(
+            coordinator_address=dist_config["coordinator_address"],
+            num_processes=dist_config.get("num_processes"),
+            process_id=dist_config.get("process_id"))
+        return True
+    if dist_config.get("multiprocess"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def make_mesh(mesh_shape=(-1,), axis_names=("data",), devices=None,
+              dcn_mesh_shape=None):
+    """Create a Mesh; a -1 dim absorbs all remaining devices.
+
+    dcn_mesh_shape: per-axis process/slice counts for multi-slice
+    deployments — the mesh is then laid out so the leading (data) axes
+    cross DCN and the trailing (model) axes stay inside a slice on ICI
+    (SURVEY §2.9: psum "over ICI (intra-slice) and DCN (multi-slice)").
+    """
+    if dcn_mesh_shape is not None:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(mesh_shape), tuple(dcn_mesh_shape), devices=devices)
+        return Mesh(dev_array, tuple(axis_names))
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     shape = list(mesh_shape)
@@ -29,8 +63,21 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def data_sharded(mesh, axis="data"):
-    """Shard the leading (batch) axis over the data axis."""
+def batch_axes(mesh, model_axis="model"):
+    """Every mesh axis except the tensor-parallel one shards the batch
+    (e.g. ('dcn', 'data') on a multi-slice 3-axis mesh)."""
+    return tuple(a for a in mesh.axis_names if a != model_axis)
+
+
+def batch_shard_size(mesh, model_axis="model"):
+    return int(np.prod([dict(mesh.shape)[a]
+                        for a in batch_axes(mesh, model_axis)] or [1]))
+
+
+def data_sharded(mesh, axis=None):
+    """Shard the leading (batch) axis over all non-model mesh axes."""
+    if axis is None:
+        axis = batch_axes(mesh)
     return NamedSharding(mesh, P(axis))
 
 

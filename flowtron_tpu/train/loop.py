@@ -27,6 +27,7 @@ from flowtron_tpu.data import (
 )
 from flowtron_tpu.parallel.mesh import (
     make_mesh, replicated, data_sharded, place_params,
+    maybe_initialize_distributed, batch_shard_size,
 )
 
 
@@ -108,6 +109,9 @@ def make_eval_step(model_config_static, mesh, train_config):
 
 def prepare_dataloaders(data_config, batch_size, seed=1234,
                         pad_to_multiple=32):
+    """batch_size is the GLOBAL batch; each process loads its
+    1/process_count slice (DistributedSampler role,
+    reference:train.py:74-75)."""
     ignore_keys = ("training_files", "validation_files")
     kwargs = {k: v for k, v in data_config.items() if k not in ignore_keys}
     trainset = Data(data_config["training_files"], **kwargs)
@@ -115,18 +119,26 @@ def prepare_dataloaders(data_config, batch_size, seed=1234,
                   speaker_ids=trainset.speaker_ids)
     collate = DataCollate(use_attn_prior=trainset.use_attn_prior,
                           pad_to_multiple=pad_to_multiple)
+    nproc, pid = jax.process_count(), jax.process_index()
+    local_bs = max(1, batch_size // nproc)
     train_loader = PrefetchIterator(
-        BatchIterator(trainset, batch_size, collate, shuffle=True,
-                      seed=seed))
-    val_loader = BatchIterator(valset, batch_size, collate, shuffle=False,
-                               seed=seed, drop_last=False)
+        BatchIterator(trainset, local_bs, collate, shuffle=True,
+                      seed=seed, num_shards=nproc, shard_index=pid))
+    val_loader = BatchIterator(valset, local_bs, collate, shuffle=False,
+                               seed=seed, drop_last=False,
+                               num_shards=nproc, shard_index=pid)
     return train_loader, val_loader
 
 
 def _device_batch(batch, mesh):
-    """Drop None entries and place on the mesh."""
+    """Drop None entries and place on the mesh. On multi-host runs each
+    process holds only its slice of the global batch; the global array is
+    assembled from the per-process data without gathering."""
     clean = {k: v for k, v in batch.items() if v is not None}
     sharding = data_sharded(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in clean.items()}
     return {k: jax.device_put(v, sharding) for k, v in clean.items()}
 
 
@@ -145,7 +157,7 @@ def _pad_batch_to_divisible(batch, m):
 
 def compute_validation_loss(eval_step, params, val_loader, mesh,
                             ctc_weight):
-    data_axis = dict(mesh.shape).get("data", 1)
+    data_axis = batch_shard_size(mesh)
     totals = {"nll": 0.0, "gate": 0.0, "ctc": 0.0}
     n = 0
     last = None
@@ -176,8 +188,10 @@ def train(config):
     key = jax.random.PRNGKey(seed)
     init_key, dropout_key = jax.random.split(key)
 
+    maybe_initialize_distributed(dist_config)
     mesh = make_mesh(tuple(dist_config.get("mesh_shape", (-1,))),
-                     tuple(dist_config.get("mesh_axis_names", ("data",))))
+                     tuple(dist_config.get("mesh_axis_names", ("data",))),
+                     dcn_mesh_shape=dist_config.get("dcn_mesh_shape"))
     n_dev = int(np.prod(mesh.devices.shape))
     batch_size = int(train_config["batch_size"]) * n_dev
     print(f"mesh: {mesh.devices.shape} {mesh.axis_names}; "

@@ -143,6 +143,30 @@ class TestCollate:
         assert len(batches) == 3  # drop_last
         assert all(b["mel"].shape[0] == 2 for b in batches)
 
+    def test_batch_iterator_process_sharding(self):
+        """Multi-host data sharding: same seeded permutation, disjoint
+        strides, equal per-process lengths (DistributedSampler role)."""
+        class FakeDs:
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return (rng.standard_normal((80, 10 + i)).astype(np.float32),
+                        i, np.arange(1, 4), None)
+
+        shards = [BatchIterator(FakeDs(), 2, DataCollate(), seed=0,
+                                shuffle=True, num_shards=2, shard_index=p)
+                  for p in range(2)]
+        assert len(shards[0]) == len(shards[1]) == 2  # ceil(7/2)=4 -> 2
+        seen = [np.concatenate([b["speaker_ids"] for b in s])
+                for s in shards]
+        # lockstep batch counts and near-disjoint coverage (one
+        # wrap-around pad allowed on the short shard)
+        assert len(seen[0]) == len(seen[1]) == 4
+        all_ids = np.concatenate(seen)
+        assert len(np.unique(all_ids)) >= 7
+
 
 class TestNative:
     @pytest.fixture(scope="class")
