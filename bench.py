@@ -102,12 +102,16 @@ def main():
     }))
 
 
-def bench_e2e(params, cfg, B=8, N=400, K=2):
+def bench_e2e(params, cfg, N=400, K=2):
     """End-to-end RTF: text+latents -> AR mel (gate ENABLED, threshold 0.5,
     the reference's default op point) -> WaveGlow-style vocoder -> waveform.
     bf16 weights/activations (the TPU serving configuration; fp32 is the
-    parity configuration, tested elsewhere). RTF = wallclock / audio
-    duration for B concurrent streams.
+    parity configuration, tested elsewhere).
+
+    Reports the strict single-stream latency RTF (B=1: wallclock /
+    audio seconds) as the headline e2e_rtf, plus B=8 batched-serving
+    numbers (wallclock / per-stream audio seconds, and the aggregate
+    per-stream RTF).
     """
     from flowtron_tpu.models import flowtron_infer
     from flowtron_tpu.vocoder import waveglow_init, waveglow_infer
@@ -120,42 +124,47 @@ def bench_e2e(params, cfg, B=8, N=400, K=2):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
     p16, wg16 = to_bf16(params), to_bf16(wg_params)
-    rng = np.random.default_rng(1)
-    residual = jnp.asarray(
-        (rng.standard_normal((B, 80, N)) * 0.5).astype(np.float32)
-    ).astype(jnp.bfloat16)
-    text = jnp.asarray(rng.integers(1, 185, (B, 128)))
-    sids = jnp.zeros((B,), jnp.int32)
 
-    def run(p, wgp, r, s, t):
-        total = jnp.zeros((), jnp.float32)
-        for i in range(K):
-            # gate enabled: early-exit semantics run under jit on device
-            mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
-                                             gate_threshold=0.5)
-            audio = waveglow_infer(wgp, wg_cfg, mel, sigma=0.8,
-                                   key=jax.random.PRNGKey(i))
-            total = (total + jnp.sum(audio).astype(jnp.float32)
-                     + (0.0 if n_valid is None
-                        else jnp.sum(n_valid).astype(jnp.float32)))
-            r = 0.999 * r + 0.001 * mel  # chain passes (see note above)
-        return total
+    def measure(B):
+        rng = np.random.default_rng(1)
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 80, N)) * 0.5).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        text = jnp.asarray(rng.integers(1, 185, (B, 128)))
+        sids = jnp.zeros((B,), jnp.int32)
 
-    e2e = jax.jit(run)
-    float(e2e(p16, wg16, residual, sids, text))  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(e2e(p16, wg16, residual, sids, text))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    audio_seconds = K * N * 256 / 22050
-    rtf = dt / audio_seconds
-    return round(rtf, 4), {
-        "batch": B, "n_frames": N, "chained_passes": K,
-        "seconds": round(dt, 4), "dtype": "bf16",
+        def run(p, wgp, r, s, t):
+            total = jnp.zeros((), jnp.float32)
+            for i in range(K):
+                # gate enabled: early-exit semantics run on device
+                mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
+                                                 gate_threshold=0.5)
+                audio = waveglow_infer(wgp, wg_cfg, mel, sigma=0.8,
+                                       key=jax.random.PRNGKey(i))
+                total = (total + jnp.sum(audio).astype(jnp.float32)
+                         + (0.0 if n_valid is None
+                            else jnp.sum(n_valid).astype(jnp.float32)))
+                r = 0.999 * r + 0.001 * mel  # chain passes (see above)
+            return total
+
+        e2e = jax.jit(run)
+        float(e2e(p16, wg16, residual, sids, text))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(e2e(p16, wg16, residual, sids, text))
+            times.append(time.perf_counter() - t0)
+        return min(times) / (K * N * 256 / 22050)
+
+    rtf_b1 = measure(1)
+    rtf_b8 = measure(8)
+    return round(rtf_b1, 4), {
+        "n_frames": N, "chained_passes": K, "dtype": "bf16",
         "gate_threshold": 0.5,
-        "streams_x_realtime": round(B / rtf, 1),
+        "rtf_single_stream_b1": round(rtf_b1, 4),
+        "rtf_batch_wallclock_b8": round(rtf_b8, 4),
+        "rtf_per_stream_b8": round(rtf_b8 / 8, 4),
+        "streams_x_realtime_b8": round(8 / rtf_b8, 1),
     }
 
 

