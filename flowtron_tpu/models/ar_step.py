@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from flowtron_tpu.models.layers import (
     linear_params, linear_apply, dense_layer_params, dense_layer_apply,
-    resolve_weight,
+    qdot,
 )
 from flowtron_tpu.models.attention import (
     attention_params, attention_forward, attention_precompute, attention_step,
@@ -216,10 +216,8 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         z_t, prior_t, attn_ext_t = xs
 
         # attention LSTM cell on previous output frame
-        xp = jnp.dot(prev_out,
-                     resolve_weight(att_layer_p["w_ih"], prev_out.dtype),
-                     preferred_element_type=jnp.float32
-                     ).astype(prev_out.dtype) + att_bias
+        xp = qdot(prev_out, att_layer_p["w_ih"],
+                  out_dtype=prev_out.dtype) + att_bias
         h_att, c_att = lstm_cell(att_layer_p, xp, h_att, c_att)
 
         if has_cumm:
@@ -250,9 +248,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         x = decoder_input
         new_hs, new_cs = [], []
         for li, layer_p in enumerate(params["lstm"]["layers"]):
-            xp_l = jnp.dot(x, resolve_weight(layer_p["w_ih"], x.dtype),
-                           preferred_element_type=jnp.float32
-                           ).astype(x.dtype) \
+            xp_l = qdot(x, layer_p["w_ih"], out_dtype=x.dtype) \
                 + layer_p["b_ih"] + layer_p["b_hh"]
             h_l, c_l = lstm_cell(layer_p, xp_l, hs[li], cs[li])
             new_hs.append(h_l)

@@ -8,7 +8,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtron_tpu.utils.weights import resolve_weight  # noqa: F401 (re-export)
+from flowtron_tpu.utils.weights import (  # noqa: F401 (re-export)
+    resolve_weight, qdot,
+)
 
 _GAINS = {
     "linear": 1.0,
@@ -42,8 +44,7 @@ def linear_params(key, in_dim, out_dim, bias=True, w_init_gain="linear",
 
 def linear_apply(p, x):
     # fp32 MXU accumulation, outputs stored in the compute dtype
-    w = resolve_weight(p["w"], x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = qdot(x, p["w"], out_dtype=x.dtype)
     if "b" in p:
         y = y + p["b"]
     return y

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtron_tpu.utils.weights import resolve_weight
+from flowtron_tpu.utils.weights import resolve_weight, qdot
 
 
 def lstm_layer_params(key, input_size, hidden_size, dtype=jnp.float32):
@@ -65,9 +65,7 @@ def lstm_cell(params, x_proj_t, h, c):
 
     x_proj_t: (B, 4H) = x_t @ w_ih + b ;  h, c: (B, H)
     """
-    gates = x_proj_t + jnp.dot(h, resolve_weight(params["w_hh"], h.dtype),
-                               preferred_element_type=jnp.float32
-                               ).astype(h.dtype)
+    gates = x_proj_t + qdot(h, params["w_hh"], out_dtype=h.dtype)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -104,9 +102,7 @@ def lstm_single_direction(params, x, mask=None, reverse=False, init=None,
         # project per step inside the (checkpointed) cell: saved state is
         # x itself, not the 4x larger projection
         def project(x_t):
-            return jnp.dot(x_t, resolve_weight(params["w_ih"], x_t.dtype),
-                           preferred_element_type=jnp.float32
-                           ).astype(x_t.dtype) + bias
+            return qdot(x_t, params["w_ih"], out_dtype=x_t.dtype) + bias
         xs_main = x
     else:
         # Hoisted input projection: one big MXU matmul over all timesteps.

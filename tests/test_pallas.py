@@ -74,3 +74,54 @@ class TestCustomVJP:
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(gx[2]),
                                    atol=2e-3)
+
+
+class TestQuantizedMatmul:
+    """ops/qmm_pallas.py: the int8 weight-streaming matmul used by the
+    AR decoder's serving modes (interpret mode on the CPU platform)."""
+
+    def _case(self, M, K, N, seed=0):
+        from flowtron_tpu.infer.quantize import _quantize_matrix
+        rng = np.random.default_rng(seed)
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+        qd = _quantize_matrix(w)
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+        ref = jnp.dot(x, jnp.asarray(qd["q"], jnp.float32)
+                      * qd["s"][None, :])
+        return x, qd, ref
+
+    def test_w8_matches_dequant_dot(self):
+        from flowtron_tpu.ops.qmm_pallas import quantized_matmul
+        # shapes cover M/K padding and whole-N vs tiled-N grids
+        for (M, K, N) in [(8, 80, 640), (3, 1024, 4096), (33, 1664, 512)]:
+            x, qd, ref = self._case(M, K, N)
+            out = quantized_matmul(x, qd["q"], qd["s"], interpret=True)
+            assert out.shape == (M, N)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4, err_msg=str((M, K, N)))
+
+    def test_w8a8_error_bounded(self):
+        from flowtron_tpu.ops.qmm_pallas import quantized_matmul
+        x, qd, ref = self._case(16, 1024, 640)
+        out = quantized_matmul(x, qd["q"], qd["s"], interpret=True,
+                               a8=True)
+        rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+        # per-row int8 activations: ~1% relative error at these dims
+        assert rel < 0.03, rel
+
+    def test_qdot_dispatch_marker(self):
+        """The a8 marker is pytree structure, not a leaf, and qdot's CPU
+        fallback matches resolve_weight numerics."""
+        from flowtron_tpu.infer.quantize import _quantize_matrix
+        from flowtron_tpu.utils.weights import qdot, resolve_weight
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((256, 512)).astype(np.float32)
+        qd = _quantize_matrix(w, a8=True)
+        assert "a8" in qd and jax.tree_util.tree_leaves({"m": qd["a8"]}) \
+            == []
+        x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+        got = qdot(x, qd)
+        want = jnp.dot(x, resolve_weight(qd, x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
