@@ -184,6 +184,39 @@ class TestResume:
         np.testing.assert_allclose(l_a + l_b, l_all, rtol=1e-5)
 
 
+class TestShardedInference:
+    def test_dp_inference_matches_single_device(self):
+        """flowtron_infer with the batch sharded over an 8-device mesh
+        reproduces the single-device mels (multi-chip serving path)."""
+        from flowtron_tpu.models import flowtron_infer
+
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, **SMALL)
+        rng = np.random.default_rng(3)
+        B, N, Tk = 8, 12, 6
+        residual = jnp.asarray(
+            (rng.standard_normal((B, SMALL["n_mel_channels"], N)) * 0.5)
+            .astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, Tk)))
+        sids = jnp.asarray(rng.integers(0, 2, B))
+
+        def run(p, r, s, t):
+            mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
+                                             gate_threshold=1e6)
+            return mel, n_valid
+
+        mel_1, nv_1 = jax.jit(run)(params, residual, sids, text)
+
+        mesh = make_mesh((8,))
+        shard = data_sharded(mesh)
+        args = [jax.device_put(v, shard) for v in (residual, sids, text)]
+        mel_8, nv_8 = jax.jit(
+            run, in_shardings=(None, shard, shard, shard))(params, *args)
+        np.testing.assert_allclose(np.asarray(mel_8), np.asarray(mel_1),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(nv_8), np.asarray(nv_1))
+
+
 class TestTensorParallel:
     def test_2d_mesh_matches_dp(self):
         """(4 data x 2 model) GSPMD weight sharding == pure DP losses."""
