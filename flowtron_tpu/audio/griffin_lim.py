@@ -135,7 +135,10 @@ def griffin_lim_numpy(magnitudes, filter_length=1024, hop_length=256,
 
     def forward(signal):
         pad = filter_length // 2
-        x = np.pad(signal.astype(np.float64), pad, mode="reflect")
+        # reflect needs pad < len(signal); ultra-short synthesis (a gate
+        # that fires within the first frames) falls back to zero padding
+        mode = "reflect" if signal.size > pad else "constant"
+        x = np.pad(signal.astype(np.float64), pad, mode=mode)
         n_frames = magnitudes.shape[1]
         frames = np.stack([
             x[i * hop_length:i * hop_length + filter_length]

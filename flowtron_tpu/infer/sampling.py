@@ -55,9 +55,12 @@ def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
         data_config["mel_fmax"])
     mag_est = np.clip(np.linalg.pinv(basis) @ np.exp(np.asarray(mel)),
                       0, None)
-    return griffin_lim_numpy(
+    audio = griffin_lim_numpy(
         mag_est, data_config["filter_length"], data_config["hop_length"],
         data_config["win_length"], n_iters=n_iters, seed=seed)
+    if audio.size == 0:  # <= 1 mel frame inverts to zero samples
+        audio = np.zeros(data_config["hop_length"], np.float32)
+    return audio
 
 
 def run_inference(config, args):
@@ -117,6 +120,10 @@ def run_inference(config, args):
         print("no vocoder checkpoint; using Griffin-Lim fallback")
         audio = mel_to_audio_griffinlim(mel, data_config)
 
+    if audio.size == 0:
+        # a 1-frame mel (gate fired immediately) inverts to zero samples;
+        # still write a valid (silent) wav rather than crash
+        audio = np.zeros(data_config["hop_length"], np.float32)
     audio = audio / max(1e-8, np.abs(audio).max())
     from scipy.io import wavfile
     wavfile.write(base + ".wav", data_config["sampling_rate"],

@@ -133,3 +133,27 @@ class TestNumpyGriffinLim:
         mags = np.abs(rng.standard_normal((513, 12))).astype(np.float32)
         sig = griffin_lim_numpy(mags, n_iters=3)
         assert np.isfinite(sig).all() and len(sig) > 0
+
+    @pytest.mark.parametrize("n_frames", [1, 2, 3])
+    def test_griffin_lim_ultra_short(self, n_frames):
+        """A gate that fires within the first frames must not crash the
+        fallback vocoder: signals shorter than the reflect pad fall back
+        to zero padding, and <=1-frame synthesis yields empty audio that
+        callers turn into silence (regression: CLI crash on 1-frame
+        mels from barely-trained checkpoints)."""
+        from flowtron_tpu.audio.griffin_lim import griffin_lim_numpy
+        rng = np.random.default_rng(0)
+        mags = rng.uniform(0, 1, (513, n_frames)).astype(np.float32)
+        out = griffin_lim_numpy(mags, n_iters=2)
+        assert out.ndim == 1
+        expected = max(0, 1024 + 256 * (n_frames - 1) - 1024)
+        assert out.shape[0] == expected
+
+    def test_mel_to_audio_one_frame_is_silence(self):
+        from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
+        dc = {"sampling_rate": 22050, "filter_length": 1024,
+              "hop_length": 256, "win_length": 1024, "mel_fmin": 0.0,
+              "mel_fmax": 8000.0}
+        mel = np.full((80, 1), -3.0, np.float32)
+        audio = mel_to_audio_griffinlim(mel, dc, n_iters=1)
+        assert audio.shape == (256,) and np.all(audio == 0)

@@ -149,6 +149,25 @@ class TestFlowtron:
                                           text)
         assert float(err) < 1e-5, f"invertibility error {float(err)}"
 
+    @pytest.mark.parametrize("n_flows", [3, 4])
+    def test_invertibility_more_flows(self, n_flows):
+        """n_flows is a free hyperparameter (reference:flowtron.py:853-868
+        alternates fwd/back steps for any count); the flow property must
+        hold beyond the shipped 1- and 2-flow configs."""
+        params, config = flowtron_init(jax.random.PRNGKey(2),
+                                       n_flows=n_flows,
+                                       use_gate_layer=True, **SMALL)
+        params = _randomize_coupling(params, jax.random.PRNGKey(9), 0.05)
+        B, N, Tk, M = 1, 8, 5, SMALL["n_mel_channels"]
+        rng = np.random.default_rng(5)
+        residual = jnp.asarray(
+            (rng.standard_normal((B, M, N)) * 0.5).astype(np.float32))
+        text = jnp.asarray(rng.integers(0, 185, (B, Tk)))
+        sids = jnp.asarray([1])
+        err = flowtron_test_invertibility(params, config, residual, sids,
+                                          text)
+        assert float(err) < 1e-5, f"n_flows={n_flows}: {float(err)}"
+
     def test_infer_shapes_and_gate(self, small_model):
         params, config = small_model
         B, N, Tk, M = 2, 9, 5, SMALL["n_mel_channels"]
