@@ -18,7 +18,7 @@ import optax
 
 from flowtron_tpu.models import flowtron_init, flowtron_forward
 from flowtron_tpu.train.loss import flowtron_loss
-from flowtron_tpu.train.radam import build_optimizer
+from flowtron_tpu.train.radam import build_optimizer, masked_optimizer
 from flowtron_tpu.train.checkpoints import (
     AsyncSaver, load_checkpoint, warmstart, trainable_mask,
 )
@@ -207,8 +207,7 @@ def train(config):
         float(train_config["learning_rate"]),
         float(train_config.get("weight_decay", 0.0)),
         float(train_config.get("grad_clip_val", 0.0)))
-    import optax as _optax
-    optimizer = _optax.masked(base_opt, mask)
+    optimizer = masked_optimizer(base_opt, mask)
 
     iteration = 0
     opt_state = jax.jit(optimizer.init)(params)  # inherits param shardings

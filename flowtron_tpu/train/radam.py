@@ -91,3 +91,19 @@ def build_optimizer(optim_algo, learning_rate, weight_decay=0.0,
     if grad_clip_val and grad_clip_val > 0:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip_val), opt)
     return opt
+
+
+def masked_optimizer(base, trainable_mask_tree):
+    """Apply `base` to trainable leaves and FREEZE the rest.
+
+    optax.masked alone is not freezing: masked-out leaves receive the
+    raw incoming gradient as their "update" (they would drift by +grad
+    every step). Chain a set_to_zero over the complement so frozen
+    leaves (fixed-gaussian buffers, everything outside finetune_layers
+    — reference:train.py:223-228, reference:flowtron.py:335-342) are
+    bitwise untouched.
+    """
+    import jax
+    frozen = jax.tree.map(lambda t: not t, trainable_mask_tree)
+    return optax.chain(optax.masked(base, trainable_mask_tree),
+                       optax.masked(optax.set_to_zero(), frozen))

@@ -19,7 +19,7 @@ from flowtron_tpu.train.checkpoints import (
     AsyncSaver, save_checkpoint, load_checkpoint, warmstart,
     trainable_mask, _flatten,
 )
-from flowtron_tpu.train.radam import build_optimizer
+from flowtron_tpu.train.radam import build_optimizer, masked_optimizer
 from flowtron_tpu.train.sharded_ckpt import (
     save_sharded, restore_sharded, restore_flat, read_index,
 )
@@ -38,7 +38,8 @@ def _state(mesh, seed):
     params, _ = flowtron_init(jax.random.PRNGKey(seed), n_flows=2,
                               use_gate_layer=True, **SMALL)
     params = place_params(params, mesh)
-    opt = optax.masked(build_optimizer("RAdam", 1e-3, 1e-6, 1.0),
+    opt = masked_optimizer(
+        build_optimizer("RAdam", 1e-3, 1e-6, 1.0),
                        trainable_mask(params))
     opt_state = jax.jit(opt.init)(params)
     return params, opt_state, opt

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from flowtron_tpu.models import flowtron_init
-from flowtron_tpu.train.radam import build_optimizer
+from flowtron_tpu.train.radam import build_optimizer, masked_optimizer
 from flowtron_tpu.train.checkpoints import trainable_mask
 from flowtron_tpu.train.loop import make_train_step
 from flowtron_tpu.parallel.mesh import make_mesh, data_sharded
@@ -49,7 +49,7 @@ def synthetic_batch(B=8, T=16, Tk=6, M=8, seed=0):
 def _setup(mesh):
     params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                                 use_gate_layer=True, **SMALL)
-    opt = optax.masked(
+    opt = masked_optimizer(
         build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
                         TRAIN_CFG["weight_decay"],
                         TRAIN_CFG["grad_clip_val"]),
@@ -122,7 +122,7 @@ class TestMixedPrecision:
         mesh = make_mesh((1,))
         params, static_cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                                            use_gate_layer=True, **SMALL)
-        opt = optax.masked(
+        opt = masked_optimizer(
             build_optimizer("RAdam", cfg["learning_rate"],
                             cfg["weight_decay"], cfg["grad_clip_val"]),
             trainable_mask(params))
@@ -184,6 +184,81 @@ class TestResume:
         np.testing.assert_allclose(l_a + l_b, l_all, rtol=1e-5)
 
 
+class TestGaussianMixtureTraining:
+    def test_gm_step_trains_and_buffers_stay_frozen(self):
+        """End-to-end jitted training step in Gaussian-mixture mode
+        (n_components>0: MelEncoder + GM head in the graph, gm NLL in
+        the loss); the fixed-gaussian mean/log_var buffers must be
+        bitwise untouched by the optimizer (reference:flowtron.py:
+        335-342 registers them as non-trainable buffers)."""
+        mesh = make_mesh((1,))
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, n_components=4,
+                                    fixed_gaussian=True, mean_scale=1.0,
+                                    **SMALL)
+        assert "gaussian_mixture" in params and "mel_encoder" in params
+        gm0 = jax.tree.map(np.asarray, params["gaussian_mixture"])
+
+        opt = masked_optimizer(
+            build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
+                            TRAIN_CFG["weight_decay"],
+                            TRAIN_CFG["grad_clip_val"]),
+            trainable_mask(params))
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, mesh, opt, TRAIN_CFG)
+        shard = data_sharded(mesh)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        losses = []
+        for i in range(24):
+            params, opt_state, m = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(5), i),
+                jnp.asarray(0.01))
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        # dropout makes single steps noisy; compare windowed means
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+        np.testing.assert_array_equal(
+            np.asarray(params["gaussian_mixture"]["mean"]), gm0["mean"])
+        np.testing.assert_array_equal(
+            np.asarray(params["gaussian_mixture"]["log_var"]),
+            gm0["log_var"])
+
+
+class TestFinetuneFreeze:
+    def test_non_finetune_layers_bitwise_frozen(self):
+        """finetune_layers restricts training to matching params and
+        every other parameter must be BITWISE untouched
+        (reference:train.py:223-228 sets requires_grad=False).
+        Regression: optax.masked alone leaked raw gradients into
+        masked-out leaves."""
+        from flowtron_tpu.train.checkpoints import _flatten
+        mesh = make_mesh((1,))
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, **SMALL)
+        before = {k: np.asarray(v) for k, v in _flatten(params).items()}
+        opt = masked_optimizer(
+            build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
+                            TRAIN_CFG["weight_decay"],
+                            TRAIN_CFG["grad_clip_val"]),
+            trainable_mask(params, finetune_layers=["speaker_embedding"]))
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, mesh, opt, TRAIN_CFG)
+        shard = data_sharded(mesh)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        for i in range(3):
+            params, opt_state, _ = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(5), i),
+                jnp.asarray(0.01))
+        after = _flatten(params)
+        changed = [k for k in before
+                   if not np.array_equal(before[k], np.asarray(after[k]))]
+        assert changed == ["speaker_embedding.table"], changed
+
+
 class TestShardedInference:
     def test_dp_inference_matches_single_device(self):
         """flowtron_infer with the batch sharded over an 8-device mesh
@@ -232,7 +307,7 @@ class TestTensorParallel:
         assert s.spec == P(None, "model")
 
         params = place_params(params, mesh2d)
-        opt = optax.masked(
+        opt = masked_optimizer(
             build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
                             TRAIN_CFG["weight_decay"],
                             TRAIN_CFG["grad_clip_val"]),
@@ -267,7 +342,7 @@ class TestTensorParallel:
         params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                                     use_gate_layer=True, **SMALL)
         params = place_params(params, mesh3)
-        opt = optax.masked(
+        opt = masked_optimizer(
             build_optimizer("RAdam", TRAIN_CFG["learning_rate"],
                             TRAIN_CFG["weight_decay"],
                             TRAIN_CFG["grad_clip_val"]),
@@ -300,7 +375,7 @@ class TestRemat:
         def run_cfg(cfg):
             params, mcfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                                          use_gate_layer=True, **SMALL)
-            opt = optax.masked(
+            opt = masked_optimizer(
                 build_optimizer("RAdam", cfg["learning_rate"],
                                 cfg["weight_decay"], cfg["grad_clip_val"]),
                 trainable_mask(params))
