@@ -247,6 +247,7 @@ def train(config):
     # all; here profile_dir captures an xplane trace of steps 10..14)
     profile_dir = train_config.get("profile_dir", "")
 
+    profile_started = False
     epoch_offset = max(0, iteration // max(1, len(train_loader)))
     t_last = time.time()
     for epoch in range(epoch_offset, epochs):
@@ -254,8 +255,10 @@ def train(config):
         for batch in train_loader:
             if profile_dir and iteration == 10:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and iteration == 15:
+                profile_started = True
+            if profile_started and iteration == 15:
                 jax.profiler.stop_trace()
+                profile_started = False
                 print(f"profiler trace written to {profile_dir}")
             ctc_weight = jnp.asarray(
                 ctc_w if (use_ctc and iteration >= ctc_start) else 0.0,
@@ -291,5 +294,8 @@ def train(config):
                                train_config.get("sharded_checkpoints")))
             iteration += 1
 
+    if profile_started:  # run ended inside the trace window
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
     saver.wait()
     return params, opt_state, iteration

@@ -26,6 +26,23 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _isolate_text_frontend_globals():
+    """The text frontend keeps module-level state by design (the injected
+    acronym CMUdict and the heteronyms path — mirroring the reference's
+    module-global loads). Constructing a Data sets them — including from
+    module-scoped fixtures, which instantiate before any function-scoped
+    snapshot — so reset to the pristine import-time state after every
+    test to keep goldens order-independent."""
+    import flowtron_tpu.text as t
+    from flowtron_tpu.text import cleaners as cl
+
+    yield
+    cl._acronym_cmudict = None
+    t._heteronyms = None
+    t._heteronyms_path = None
+
+
 @pytest.fixture(scope="session")
 def mini_cmudict(tmp_path_factory):
     """A small CMUdict-format fixture covering words used in tests."""
