@@ -23,10 +23,9 @@ def main():
     from flowtron_tpu.cli import _apply_platform_override
     _apply_platform_override()
     from flowtron_tpu.data import Data, load_filepaths_and_text, load_wav
-    ignore = ("training_files", "validation_files")
+    from flowtron_tpu.data.dataset import data_kwargs
     mel2samp = Data(data_config["training_files"],
-                    **{k: v for k, v in data_config.items()
-                       if k not in ignore})
+                    **data_kwargs(data_config))
 
     os.makedirs(args.output_dir, exist_ok=True)
     for filepath, text, speaker_id in load_filepaths_and_text(args.filelist):

@@ -53,7 +53,14 @@ def inference_main(argv=None):
     parser.add_argument("-d", "--denoise", type=float, default=0.0,
                         help="denoiser strength (0 = off; needs -w)")
     parser.add_argument("--int8", action="store_true",
-                        help="int8 weight-only flows (faster serving mode)")
+                        help="int8 weight-only flows (faster serving mode; "
+                             "alias for --quantize w8)")
+    parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
+                        default="",
+                        help="flow-weight quantization serving mode: w8 = "
+                             "int8 weights, w8a8 = int8 weights+activations "
+                             "(MXU int8 path), w4 = packed int4 weights "
+                             "(lowest HBM traffic)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()

@@ -38,6 +38,20 @@ def load_wav(full_path):
     return data.astype(np.float32), sampling_rate
 
 
+def data_kwargs(data_config, exclude=("training_files", "validation_files")):
+    """Filter a data_config dict down to Data.__init__'s parameters.
+
+    The config section may carry loader-level keys (use_grain,
+    grain_workers) that the frontends constructing a bare Data (serve,
+    inference, style transfer, mel dump) must not forward.
+    """
+    import inspect
+    valid = set(inspect.signature(Data.__init__).parameters)
+    valid -= {"self", "filelist_path"}
+    return {k: v for k, v in data_config.items()
+            if k in valid and k not in exclude}
+
+
 class Data:
     """Map-style dataset over a filelist."""
 

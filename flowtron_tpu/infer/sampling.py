@@ -67,14 +67,14 @@ def run_inference(config, args):
     """CLI entry (reference:inference.py:93-132 contract)."""
     data_config = dict(config["data_config"])
     params, static_cfg = load_model_for_inference(config, args.flowtron_path)
-    if getattr(args, "int8", False):
+    qmode = getattr(args, "quantize", "") or (
+        "w8" if getattr(args, "int8", False) else "")
+    if qmode:
         from flowtron_tpu.infer.quantize import quantize_flows_for_inference
-        params = quantize_flows_for_inference(params)
+        params = quantize_flows_for_inference(params, mode=qmode)
 
-    ignore_keys = ("training_files", "validation_files")
-    dataset = Data(
-        data_config["training_files"],
-        **{k: v for k, v in data_config.items() if k not in ignore_keys})
+    from flowtron_tpu.data.dataset import data_kwargs
+    dataset = Data(data_config["training_files"], **data_kwargs(data_config))
     text_ids = dataset.get_text(args.text)
     speaker_id = dataset.get_speaker_id(args.id)
 

@@ -31,7 +31,7 @@ class SynthesisEngine:
 
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
-                 n_frames=400, int8=False):
+                 n_frames=400, int8=False, quantize=""):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -49,15 +49,16 @@ class SynthesisEngine:
         self.data_config = data_config
         self.params, self.static_cfg = load_model_for_inference(
             config, flowtron_path)
-        if int8:
+        qmode = quantize or ("w8" if int8 else "")
+        if qmode:
             from flowtron_tpu.infer.quantize import \
                 quantize_flows_for_inference
-            self.params = quantize_flows_for_inference(self.params)
+            self.params = quantize_flows_for_inference(self.params,
+                                                       mode=qmode)
 
-        ignore = ("training_files", "validation_files")
-        self.frontend = Data(
-            data_config["training_files"],
-            **{k: v for k, v in data_config.items() if k not in ignore})
+        from flowtron_tpu.data.dataset import data_kwargs
+        self.frontend = Data(data_config["training_files"],
+                             **data_kwargs(data_config))
 
         self.wg = None
         if waveglow_path:
@@ -236,7 +237,9 @@ def main(argv=None):
     parser.add_argument("--batch-timeout-ms", type=float, default=20.0)
     parser.add_argument("--n-frames", type=int, default=400)
     parser.add_argument("--int8", action="store_true",
-                        help="int8 weight-only flows")
+                        help="int8 weight-only flows (alias: --quantize w8)")
+    parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
+                        default="", help="flow-weight quantization mode")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
@@ -247,7 +250,8 @@ def main(argv=None):
     engine = SynthesisEngine(config, args.flowtron_path, args.waveglow_path,
                              max_batch=args.max_batch,
                              batch_timeout_ms=args.batch_timeout_ms,
-                             n_frames=args.n_frames, int8=args.int8)
+                             n_frames=args.n_frames, int8=args.int8,
+                             quantize=args.quantize)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

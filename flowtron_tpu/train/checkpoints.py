@@ -221,10 +221,27 @@ class AsyncSaver:
         self._thread = None
 
     def save(self, path, params, opt_state, iteration, learning_rate,
-             config=None, sharded=False):
+             config=None, sharded=False, fmt=None):
         import threading
         self.wait()
-        if sharded:
+        fmt = fmt or ("sharded" if sharded else "pickle")
+        if fmt == "orbax":
+            # orbax's AsyncCheckpointer owns the background write; a
+            # waiter thread finalizes the meta.json marker afterwards
+            from flowtron_tpu.train.orbax_ckpt import save_orbax
+            ckptr, finalize = save_orbax(path, params, opt_state, iteration,
+                                         learning_rate, config,
+                                         use_async=True)
+
+            def waiter():
+                ckptr.wait_until_finished()
+                finalize()
+                ckptr.close()
+
+            self._thread = threading.Thread(target=waiter, daemon=True)
+            self._thread.start()
+            return
+        if fmt == "sharded":
             # snapshot per-shard on this thread (no full-array gather),
             # write files off-thread
             from flowtron_tpu.train.sharded_ckpt import snapshot, write_plan
@@ -267,8 +284,13 @@ def _write_checkpoint(path, host_params, host_opt, iteration,
 
 
 def save_checkpoint(path, params, opt_state, iteration, learning_rate,
-                    config=None, sharded=False):
-    if sharded:
+                    config=None, sharded=False, fmt=None):
+    fmt = fmt or ("sharded" if sharded else "pickle")
+    if fmt == "orbax":
+        from flowtron_tpu.train.orbax_ckpt import save_orbax
+        save_orbax(path, params, opt_state, iteration, learning_rate, config)
+        return
+    if fmt == "sharded":
         from flowtron_tpu.train.sharded_ckpt import save_sharded
         save_sharded(path, params, opt_state, iteration, learning_rate,
                      config)
@@ -285,12 +307,19 @@ def load_checkpoint(path, params, opt_state=None, ignore_layers=()):
     """Resume. With ignore_layers, those params keep their fresh values and
     the optimizer state is NOT restored (reference:train.py:116-123).
 
-    A directory path selects the sharded format (sharded_ckpt.py), whose
-    restore is sharding-aware: saved arrays land directly on the devices /
-    layouts of the current `params` / `opt_state` templates."""
+    A directory path selects a directory format by marker file — orbax
+    (orbax_ckpt.py, meta.json) or first-party sharded (sharded_ckpt.py,
+    index.json). Both restores are sharding-aware: saved arrays land
+    directly on the devices / layouts of the current `params` /
+    `opt_state` templates."""
     if os.path.isdir(path):
-        from flowtron_tpu.train.sharded_ckpt import restore_sharded
-        payload = restore_sharded(path, params, opt_state)
+        from flowtron_tpu.train.orbax_ckpt import (
+            is_orbax_checkpoint, restore_orbax)
+        if is_orbax_checkpoint(path):
+            payload = restore_orbax(path, params, opt_state)
+        else:
+            from flowtron_tpu.train.sharded_ckpt import restore_sharded
+            payload = restore_sharded(path, params, opt_state)
     else:
         with open(path, "rb") as f:
             payload = pickle.load(f)
@@ -326,9 +355,14 @@ def warmstart(path, params, include_layers=None):
         params, _ = import_torch_state_dict(params, sd, include_layers)
         return params
     if os.path.isdir(path):
-        from flowtron_tpu.train.sharded_ckpt import restore_flat
-        flat_saved = {k: v for k, v in restore_flat(path).items()
-                      if not k.startswith("opt.")}
+        from flowtron_tpu.train.orbax_ckpt import (
+            is_orbax_checkpoint, restore_orbax_params_flat)
+        if is_orbax_checkpoint(path):
+            flat_saved = restore_orbax_params_flat(path)
+        else:
+            from flowtron_tpu.train.sharded_ckpt import restore_flat
+            flat_saved = {k: v for k, v in restore_flat(path).items()
+                          if not k.startswith("opt.")}
     else:
         with open(path, "rb") as f:
             payload = pickle.load(f)

@@ -112,8 +112,8 @@ def prepare_dataloaders(data_config, batch_size, seed=1234,
     """batch_size is the GLOBAL batch; each process loads its
     1/process_count slice (DistributedSampler role,
     reference:train.py:74-75)."""
-    ignore_keys = ("training_files", "validation_files")
-    kwargs = {k: v for k, v in data_config.items() if k not in ignore_keys}
+    from flowtron_tpu.data.dataset import data_kwargs
+    kwargs = data_kwargs(data_config)
     trainset = Data(data_config["training_files"], **kwargs)
     valset = Data(data_config["validation_files"], **kwargs,
                   speaker_ids=trainset.speaker_ids)
@@ -121,6 +121,18 @@ def prepare_dataloaders(data_config, batch_size, seed=1234,
                           pad_to_multiple=pad_to_multiple)
     nproc, pid = jax.process_count(), jax.process_index()
     local_bs = max(1, batch_size // nproc)
+    if data_config.get("use_grain"):
+        from flowtron_tpu.data.grain_pipeline import GrainLoader
+        workers = int(data_config.get("grain_workers", 0))
+        train_loader = GrainLoader(trainset, local_bs, collate,
+                                   shuffle=True, seed=seed,
+                                   num_shards=nproc, shard_index=pid,
+                                   num_workers=workers)
+        val_loader = GrainLoader(valset, local_bs, collate, shuffle=False,
+                                 seed=seed, drop_last=False,
+                                 num_shards=nproc, shard_index=pid,
+                                 num_workers=workers)
+        return train_loader, val_loader
     train_loader = PrefetchIterator(
         BatchIterator(trainset, local_bs, collate, shuffle=True,
                       seed=seed, num_shards=nproc, shard_index=pid))
@@ -288,10 +300,14 @@ def train(config):
                         val["loss"], val["nll"], val["gate"], val["ctc"],
                         last, iteration)
                 ckpt = os.path.join(output_directory, f"model_{iteration}")
+                # checkpoint_format: pickle (default) | sharded | orbax;
+                # sharded_checkpoints=true kept as the legacy spelling
+                fmt = train_config.get("checkpoint_format") or (
+                    "sharded" if train_config.get("sharded_checkpoints")
+                    else "pickle")
                 saver.save(ckpt, params, opt_state, iteration,
                            float(train_config["learning_rate"]), config,
-                           sharded=bool(
-                               train_config.get("sharded_checkpoints")))
+                           fmt=fmt)
             iteration += 1
 
     if profile_started:  # run ended inside the trace window

@@ -5,17 +5,33 @@ import jax.numpy as jnp
 
 
 def resolve_weight(w, dtype=None):
-    """Materialize a (possibly int8-quantized) weight for compute.
+    """Materialize a (possibly quantized) weight for compute.
 
-    Quantized weights are dicts {"q": int8 (in, out), "s": f32 (out,)}
-    produced by infer/quantize.py. The dequant sits behind an
-    optimization barrier so XLA cannot hoist it out of an inference scan
-    — keeping the loop streaming int8 bytes (the AR scan is
-    HBM-bandwidth-bound on weight reads).
+    Quantized weights are dicts produced by infer/quantize.py:
+      int8: {"q": int8 (in, out), "s": f32 (out,)}
+      int4: {"q4": int8 (in//2, out) two nibbles/byte,
+             "s": f32 (n_groups, out) group-wise scales}
+    The dequant sits behind an optimization barrier so XLA cannot hoist
+    it out of an inference scan — keeping the loop streaming the
+    quantized bytes (the AR scan is HBM-bandwidth-bound on weight reads).
     """
     if isinstance(w, dict) and "q" in w:
         q = jax.lax.optimization_barrier(w["q"])
         out = q.astype(jnp.bfloat16) * w["s"].astype(jnp.bfloat16)
+        return out.astype(dtype) if dtype is not None else out
+    if isinstance(w, dict) and "q4" in w:
+        q = jax.lax.optimization_barrier(w["q4"])
+        # low nibble = rows [0, in/2), high nibble = rows [in/2, in);
+        # shift pairs sign-extend, the concat is contiguous (no
+        # interleave relayout — see quantize._quantize_matrix_int4)
+        lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
+        hi = jnp.right_shift(q, 4)
+        full = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+        s = w["s"].astype(jnp.bfloat16)              # (n_groups, out)
+        n_groups, n_out = s.shape
+        g = full.shape[0] // n_groups
+        out = (full.reshape(n_groups, g, n_out) * s[:, None, :]
+               ).reshape(-1, n_out)
         return out.astype(dtype) if dtype is not None else out
     return w
 

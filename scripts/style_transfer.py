@@ -48,10 +48,8 @@ def main():
     params, static_cfg = load_model_for_inference(config,
                                                   args.flowtron_path)
 
-    ignore = ("training_files", "validation_files")
-    dataset = Data(args.reference_filelist,
-                   **{k: v for k, v in data_config.items()
-                      if k not in ignore})
+    from flowtron_tpu.data.dataset import data_kwargs
+    dataset = Data(args.reference_filelist, **data_kwargs(data_config))
     items = [dataset[i] for i in range(len(dataset))]
     batch = DataCollate(use_attn_prior=False)(items)
 
