@@ -125,7 +125,7 @@ def bench_e2e(params, cfg, N=400, K=2):
 
     p16, wg16 = to_bf16(params), to_bf16(wg_params)
 
-    def measure(B):
+    def measure(B, fused=False):
         rng = np.random.default_rng(1)
         residual = jnp.asarray(
             (rng.standard_normal((B, 80, N)) * 0.5).astype(np.float32)
@@ -138,7 +138,8 @@ def bench_e2e(params, cfg, N=400, K=2):
             for i in range(K):
                 # gate enabled: early-exit semantics run on device
                 mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
-                                                 gate_threshold=0.5)
+                                                 gate_threshold=0.5,
+                                                 fused=fused)
                 audio = waveglow_infer(wgp, wg_cfg, mel, sigma=0.8,
                                        key=jax.random.PRNGKey(i))
                 total = (total + jnp.sum(audio).astype(jnp.float32)
@@ -156,11 +157,13 @@ def bench_e2e(params, cfg, N=400, K=2):
             times.append(time.perf_counter() - t0)
         return min(times) / (K * N * 256 / 22050)
 
-    rtf_b1 = measure(1)
+    # single stream rides the fused VMEM-resident decoder kernel
+    # (ops/decoder_pallas.py: 1.7x at B=1; the scan path wins at B>=8)
+    rtf_b1 = measure(1, fused=True)
     rtf_b8 = measure(8)
     return round(rtf_b1, 4), {
         "n_frames": N, "chained_passes": K, "dtype": "bf16",
-        "gate_threshold": 0.5,
+        "gate_threshold": 0.5, "b1_fused_kernel": True,
         "rtf_single_stream_b1": round(rtf_b1, 4),
         "rtf_batch_wallclock_b8": round(rtf_b8, 4),
         "rtf_per_stream_b8": round(rtf_b8 / 8, 4),

@@ -61,6 +61,10 @@ def inference_main(argv=None):
                              "int8 weights, w8a8 = int8 weights+activations "
                              "(MXU int8 path), w4 = packed int4 weights "
                              "(lowest HBM traffic)")
+    parser.add_argument("--fused", action="store_true",
+                        help="VMEM-resident fused decoder kernel (fastest "
+                             "single-stream latency; incompatible with "
+                             "--quantize)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()

@@ -28,7 +28,7 @@ def load_model_for_inference(config, checkpoint_path):
 
 
 def synthesize(params, static_cfg, text_ids, speaker_id, n_frames=400,
-               sigma=0.5, gate_threshold=0.5, seed=1234):
+               sigma=0.5, gate_threshold=0.5, seed=1234, fused=False):
     """text ids (list[int]) -> (mel (80, n_valid), attns, n_valid)."""
     key = jax.random.PRNGKey(seed)
     n_mel = static_cfg["n_mel_channels"]
@@ -37,7 +37,7 @@ def synthesize(params, static_cfg, text_ids, speaker_id, n_frames=400,
     sid = jnp.asarray([speaker_id])
     mel, attns, n_valid = flowtron_infer(
         params, static_cfg, residual, sid, text,
-        gate_threshold=gate_threshold)
+        gate_threshold=gate_threshold, fused=fused)
     n = int(n_valid[0])
     return np.asarray(mel)[0, :, :n], [np.asarray(a)[0, :n] for a in attns], n
 
@@ -81,7 +81,8 @@ def run_inference(config, args):
     mel, attns, n_valid = synthesize(
         params, static_cfg, text_ids, int(speaker_id),
         n_frames=args.n_frames, sigma=args.sigma,
-        gate_threshold=args.gate, seed=args.seed)
+        gate_threshold=args.gate, seed=args.seed,
+        fused=getattr(args, "fused", False))
     print(f"synthesized {n_valid} mel frames "
           f"({n_valid * data_config['hop_length'] / data_config['sampling_rate']:.2f}s)")
 

@@ -182,7 +182,7 @@ def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
 
 def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
                   temperature=1.0, gate_threshold=0.5, n_valid=None,
-                  attn=None):
+                  attn=None, fused=False):
     """Invert one flow step over sampled latents with a lax.scan.
 
     Args:
@@ -194,11 +194,42 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         None means all N.
       attn: optional externally supplied attention map (B, N, Tk) used
         instead of computed attention (reference:flowtron.py:585-588,797).
+      fused: run the whole scan in the VMEM-resident-weights Pallas
+        kernel (ops/decoder_pallas.py) — the low-batch latency path
+        (~1.7x at B=1). Falls back to lax.scan when the flow is outside
+        the kernel's subset (prior / cumulative or external attention /
+        quantized weights).
 
     Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
     """
     from flowtron_tpu.infer.quantize import weight_shape
     N, B, n_mel = residual.shape
+
+    if fused and attn_prior is None and attn is None \
+            and "attn_cond_layer" not in params:
+        from flowtron_tpu.ops.decoder_pallas import (
+            pack_flow_weights, fused_flow_infer)
+        w = pack_flow_weights(params)
+        if w is not None:
+            kp_f, vals_f = attention_precompute(
+                params["attention_layer"], text, text)
+            km = jnp.ones((B, text.shape[0]), jnp.float32) \
+                if key_mask is None else key_mask.astype(jnp.float32)
+            mel_f, attn_f, gates_f = fused_flow_infer(
+                w, residual, kp_f, vals_f, km, temperature)
+            mel_f = mel_f.astype(residual.dtype)
+            if "gate_layer" in params:
+                hit = gates_f > gate_threshold       # (N, B)
+                any_hit = jnp.any(hit, axis=0)
+                first = jnp.argmax(hit, axis=0)
+                nv_gate = jnp.where(any_hit, first + 1, N)
+                nv = nv_gate if n_valid is None else \
+                    jnp.minimum(n_valid, nv_gate)
+            else:
+                nv = jnp.full((B,), N, jnp.int32) if n_valid is None \
+                    else n_valid
+            return mel_f, attn_f.transpose(1, 0, 2).astype(residual.dtype), \
+                nv
     H = weight_shape(params["lstm"]["layers"][0]["w_hh"])[0]
     n_layers = len(params["lstm"]["layers"])
 
@@ -299,7 +330,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
 
 def ar_back_step_infer(params, residual, text, key_mask=None,
                        attn_prior=None, temperature=1.0, gate_threshold=0.5,
-                       n_valid=None, attn=None):
+                       n_valid=None, attn=None, fused=False):
     """Backward flow inference: flip in, invert, flip back
     (reference:flowtron.py:629-642)."""
     N, B, _ = residual.shape
@@ -310,6 +341,6 @@ def ar_back_step_infer(params, residual, text, key_mask=None,
         else None
     mel, attn_w, n_valid_out = ar_step_infer(
         params, residual_f, text, key_mask, prior_f, temperature,
-        gate_threshold, n_valid=n_valid, attn=attn)
+        gate_threshold, n_valid=n_valid, attn=attn, fused=fused)
     mel = _flip_time(mel, n_valid_out)
     return mel, attn_w, n_valid_out

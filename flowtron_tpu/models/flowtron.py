@@ -162,7 +162,7 @@ def flowtron_forward(params, config, mel, speaker_ids, text, in_lens,
 
 def flowtron_infer(params, config, residual, speaker_ids, text,
                    temperature=1.0, gate_threshold=0.5, attn_prior=None,
-                   in_lens=None, attns=None):
+                   in_lens=None, attns=None, fused=False):
     """Inference: invert the flows over sampled latents.
 
     Args:
@@ -170,6 +170,9 @@ def flowtron_infer(params, config, residual, speaker_ids, text,
       speaker_ids: (B,); text: (B, Tk).
       in_lens: optional (B,) text lengths for batched inference with
         padding; None (the reference's single-sample case) means all valid.
+      fused: route each flow's scan through the VMEM-resident-weights
+        Pallas kernel (low-batch latency serving path; per-flow
+        fallback to lax.scan where unsupported).
 
     Returns (mel (B, n_mel, N), attn_list, n_valid (B,)).
     """
@@ -194,11 +197,13 @@ def flowtron_infer(params, config, residual, speaker_ids, text,
         if i % 2 == 0:
             z, attn_w, n_valid = ar_step_infer(
                 flow_params, z, encoder_outputs, key_mask, attn_prior,
-                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext)
+                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext,
+                fused=fused)
         else:
             z, attn_w, n_valid = ar_back_step_infer(
                 flow_params, z, encoder_outputs, key_mask, attn_prior,
-                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext)
+                temperature, gate_threshold, n_valid=n_valid, attn=attn_ext,
+                fused=fused)
         out_attns.append(attn_w)
 
     return z.transpose(1, 2, 0), out_attns, n_valid

@@ -31,7 +31,7 @@ class SynthesisEngine:
 
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
-                 n_frames=400, int8=False, quantize=""):
+                 n_frames=400, int8=False, quantize="", fused=False):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -67,7 +67,8 @@ class SynthesisEngine:
 
         def synth(params, residual, sids, text, in_lens):
             return flowtron_infer(params, self.static_cfg, residual, sids,
-                                  text, gate_threshold=0.5, in_lens=in_lens)
+                                  text, gate_threshold=0.5, in_lens=in_lens,
+                                  fused=fused)
 
         self._synth = jax.jit(synth)
         self._queue = queue.Queue()
@@ -240,6 +241,9 @@ def main(argv=None):
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
                         default="", help="flow-weight quantization mode")
+    parser.add_argument("--fused", action="store_true",
+                        help="VMEM-resident fused decoder kernel (best for "
+                             "small max-batch / latency-sensitive serving)")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
@@ -251,7 +255,7 @@ def main(argv=None):
                              max_batch=args.max_batch,
                              batch_timeout_ms=args.batch_timeout_ms,
                              n_frames=args.n_frames, int8=args.int8,
-                             quantize=args.quantize)
+                             quantize=args.quantize, fused=args.fused)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

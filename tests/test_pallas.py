@@ -125,3 +125,96 @@ class TestQuantizedMatmul:
                        preferred_element_type=jnp.float32).astype(x.dtype)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestFusedDecoder:
+    """VMEM-resident fused decoder kernel (ops/decoder_pallas.py) ==
+    the lax.scan inference path (interpret mode on CPU)."""
+
+    SMALL = dict(n_mel_channels=8, n_speaker_dim=4, n_text_channels=12,
+                 n_hidden=16, n_attn_channels=8, n_lstm_layers=2)
+
+    def _flow(self, add_gate=True, seed=0):
+        from flowtron_tpu.models.ar_step import ar_step_params
+        p = ar_step_params(jax.random.PRNGKey(seed), add_gate=add_gate,
+                           **self.SMALL)
+        p["conv"]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(seed + 1), p["conv"]["w"].shape)
+        return p
+
+    def test_kernel_matches_scan(self):
+        from flowtron_tpu.models.ar_step import ar_step_infer
+        from flowtron_tpu.models.attention import attention_precompute
+        from flowtron_tpu.ops.decoder_pallas import (
+            pack_flow_weights, fused_flow_infer)
+        p = self._flow()
+        rng = np.random.default_rng(2)
+        N, B, M, Tk = 20, 3, 8, 5
+        residual = jnp.asarray(
+            rng.standard_normal((N, B, M)).astype(np.float32) * 0.5)
+        text = jnp.asarray(rng.standard_normal((Tk, B, 16)).astype(np.float32))
+        mel_ref, attn_ref, _ = ar_step_infer(p, residual, text,
+                                             gate_threshold=1e6)
+        w = pack_flow_weights(p, dtype=jnp.float32)
+        kp, vals = attention_precompute(p["attention_layer"], text, text)
+        km = jnp.ones((B, Tk), jnp.float32)
+        mel_f, attn_f, gates = fused_flow_infer(w, residual, kp, vals, km,
+                                                1.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(mel_f), np.asarray(mel_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(attn_f.transpose(1, 0, 2)),
+                                   np.asarray(attn_ref), atol=1e-5)
+
+    def test_full_model_fused_dispatch(self):
+        """flowtron_infer(fused=True): both flows (fwd + back-step flip),
+        gate n_valid, and key_mask agree with the scan path."""
+        from flowtron_tpu.models import flowtron_init, flowtron_infer
+        params, config = flowtron_init(
+            jax.random.PRNGKey(0), n_flows=2, use_gate_layer=True,
+            n_speakers=2, n_speaker_dim=4, n_text=185, n_text_dim=12,
+            n_mel_channels=8, n_hidden=16, n_attn_channels=8,
+            n_lstm_layers=2, mel_encoder_n_hidden=8)
+        for i, f in enumerate(params["flows"]):
+            k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+            f["conv"]["w"] = 0.05 * jax.random.normal(k, f["conv"]["w"].shape)
+        rng = np.random.default_rng(3)
+        B, N = 2, 20
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.5).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 7)))
+        sids = jnp.asarray([0, 1])
+        in_lens = jnp.asarray([7, 5])
+
+        for thresh in (1e6, 0.45):
+            mel_s, attns_s, nv_s = flowtron_infer(
+                params, config, residual, sids, text,
+                gate_threshold=thresh, in_lens=in_lens)
+            mel_f, attns_f, nv_f = flowtron_infer(
+                params, config, residual, sids, text,
+                gate_threshold=thresh, in_lens=in_lens, fused=True)
+            np.testing.assert_array_equal(np.asarray(nv_s), np.asarray(nv_f))
+            np.testing.assert_allclose(np.asarray(mel_f), np.asarray(mel_s),
+                                       atol=1e-4)
+            for a_s, a_f in zip(attns_s, attns_f):
+                np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_s),
+                                           atol=1e-4)
+
+    def test_fused_falls_back_on_quantized(self):
+        """Quantized flows are outside the kernel subset: fused=True must
+        still produce correct output via the scan fallback."""
+        from flowtron_tpu.models.ar_step import ar_step_infer
+        from flowtron_tpu.infer.quantize import quantize_flows_for_inference
+        from flowtron_tpu.ops.decoder_pallas import pack_flow_weights
+        p = self._flow()
+        q = quantize_flows_for_inference({"flows": [p]}, min_elems=64
+                                         )["flows"][0]
+        assert pack_flow_weights(q) is None
+        rng = np.random.default_rng(4)
+        residual = jnp.asarray(
+            rng.standard_normal((6, 2, 8)).astype(np.float32) * 0.5)
+        text = jnp.asarray(rng.standard_normal((5, 2, 16)).astype(np.float32))
+        mel_q, _, _ = ar_step_infer(q, residual, text, gate_threshold=1e6,
+                                    fused=True)
+        mel_ref, _, _ = ar_step_infer(q, residual, text, gate_threshold=1e6)
+        np.testing.assert_allclose(np.asarray(mel_q), np.asarray(mel_ref),
+                                   atol=1e-6)
