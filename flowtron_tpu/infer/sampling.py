@@ -82,7 +82,7 @@ def run_inference(config, args):
         params, static_cfg, text_ids, int(speaker_id),
         n_frames=args.n_frames, sigma=args.sigma,
         gate_threshold=args.gate, seed=args.seed,
-        fused=getattr(args, "fused", False))
+        fused="early" if getattr(args, "fused", False) else False)
     print(f"synthesized {n_valid} mel frames "
           f"({n_valid * data_config['hop_length'] / data_config['sampling_rate']:.2f}s)")
 

@@ -196,9 +196,12 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         instead of computed attention (reference:flowtron.py:585-588,797).
       fused: run the whole scan in the VMEM-resident-weights Pallas
         kernel (ops/decoder_pallas.py) — the low-batch latency path
-        (~1.7x at B=1). Falls back to lax.scan when the flow is outside
-        the kernel's subset (prior / cumulative or external attention /
-        quantized weights).
+        (~1.7x at B=1). "early" additionally skips all compute for time
+        chunks after every stream has finished (gate fired / past the
+        previous flow's n_valid) — the reference's frame-loop break
+        (reference:flowtron.py:823-825) under static shapes. Falls back
+        to lax.scan when the flow is outside the kernel's subset
+        (prior / cumulative or external attention / quantized weights).
 
     Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
     """
@@ -216,7 +219,10 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
             km = jnp.ones((B, text.shape[0]), jnp.float32) \
                 if key_mask is None else key_mask.astype(jnp.float32)
             mel_f, attn_f, gates_f = fused_flow_infer(
-                w, residual, kp_f, vals_f, km, temperature)
+                w, residual, kp_f, vals_f, km, temperature,
+                early_exit=(fused == "early"),
+                gate_threshold=gate_threshold,
+                n_valid_in=n_valid)
             mel_f = mel_f.astype(residual.dtype)
             if "gate_layer" in params:
                 hit = gates_f > gate_threshold       # (N, B)

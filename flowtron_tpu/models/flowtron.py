@@ -172,7 +172,11 @@ def flowtron_infer(params, config, residual, speaker_ids, text,
         padding; None (the reference's single-sample case) means all valid.
       fused: route each flow's scan through the VMEM-resident-weights
         Pallas kernel (low-batch latency serving path; per-flow
-        fallback to lax.scan where unsupported).
+        fallback to lax.scan where unsupported). "early" additionally
+        stops computing once every stream's gate has fired (the
+        reference's frame-loop break); frames beyond n_valid are then
+        zeros instead of the scan path's (equally meaningless)
+        continuations.
 
     Returns (mel (B, n_mel, N), attn_list, n_valid (B,)).
     """

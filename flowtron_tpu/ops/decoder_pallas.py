@@ -3,23 +3,29 @@
 The AR inference scan (reference:flowtron.py:775-828 — the per-frame
 Python loop this framework expresses as lax.scan in models/ar_step.py)
 is bound by per-step WEIGHT STREAMING: every scan step re-reads ~53 MB
-of flow weights from HBM, and measured streaming runs at an effective
-~300-500 GB/s regardless of batch (ROADMAP.md). A v5e core has >=120 MB
-of VMEM (probed), so the whole flow's weights FIT ON-CHIP.
+of flow weights from HBM. A v5e core has >=120 MB of VMEM (probed), so
+the whole flow's weights FIT ON-CHIP — but Mosaic's block pipeline
+re-fetches even constant-index_map blocks on every grid step (measured:
+a zero-compute kernel over a 13.6 MB const block costs 21 us/step). So
+this kernel takes the weights as HBM refs (memory_space=ANY) and DMAs
+each into VMEM *scratch* exactly once at grid step 0; scratch persists
+across the sequential grid, making the weights genuinely resident.
 
-This kernel runs the ENTIRE inverse scan for one flow inside a single
-pallas_call: the grid iterates over time steps (sequential on TPU), the
-weights use constant index maps so Mosaic keeps them resident in VMEM
-across all steps, and the LSTM/attention state lives in VMEM scratch
-(f32). Per-step HBM traffic drops from ~53 MB to just the frame IO
-(z_t in, mel_t/attn_t/gate_t out). Measured on the isolated decoder
-matmul: 35.1 -> 15.3 us/step (exp_resident_weight.py).
+The grid iterates over 16-step time chunks; the LSTM/attention state
+lives in f32 scratch; per-chunk HBM traffic is just the frame IO
+(z chunk in, mel/attn/gate chunks out).
+
+early_exit=True additionally skips ALL compute for chunks after every
+stream has finished (its gate fired, or its frame index passed the
+previous flow's n_valid) — the reference's break out of the frame loop
+(reference:flowtron.py:823-825) recovered under static shapes.
 
 Semantics are exactly models/ar_step.ar_step_infer for the supported
 subset: no attention prior, no cumulative attention, no externally
-supplied attention, unquantized weights (weights are cast to bf16 for
-the MXU; state and softmax stay f32). Callers fall back to the lax.scan
-path otherwise (ar_step_infer(fused=...) handles dispatch).
+supplied attention, unquantized weights (compute in the params' dtype —
+bf16 in serving, f32 in parity runs; state and softmax stay f32).
+Callers fall back to the lax.scan path otherwise
+(ar_step_infer(fused=...) handles dispatch).
 """
 
 import functools
@@ -37,56 +43,77 @@ def _as2d(b):
     return b.reshape(1, -1)
 
 
-def _make_kernel(n_layers, has_gate, M, H, D, Tk, chunk):
-    """Kernel closure over static structure. Each grid step runs `chunk`
-    sequential timesteps via fori_loop so the resident-weight blocks'
-    per-grid-step pipeline bookkeeping amortizes.
+def _make_kernel(n_layers, has_gate, M, H, D, Tk, chunk, n_resident,
+                 early_exit=False):
+    """Kernel closure over static structure.
 
-    Ref order: z_c, k_proj, vals, key_mask, temp,
-               att_w_ih, att_w_hh, att_b, q_w, q_b, v_w,
-               [w_ih_l, w_hh_l, b_l] * n_layers,
-               [dense_w_l, dense_b_l] * 2,
-               conv_w, conv_b, [gate_w, gate_b],
-               -> mel_c, attn_c, gate_c,
-               scratch: h_att, c_att, [h_l, c_l]*n_layers, prev
+    Ref order:
+      z_c (blocked), key_mask, temp (SMEM), thresh (SMEM), n_valid_in,
+      [n_resident HBM refs: k_proj, vals, att_w_ih, att_w_hh, att_b,
+       q_w, q_b, v_w, (w_ih, w_hh, b) * n_layers, (dense_w, dense_b) * 2,
+       conv_w, conv_b, (gate_w, gate_b)?]
+      -> mel_c, attn_c, gate_c,
+      scratch: [n_resident VMEM copies], h_att, c_att,
+               (h_l, c_l) * n_layers, prev, done, all_done, dma_sems
     """
 
     def kernel(*refs):
         it = iter(refs)
         z_ref = next(it)
-        kp_ref = next(it)
-        vals_ref = next(it)
         mask_ref = next(it)
         temp_ref = next(it)
-        att_w_ih = next(it)
-        att_w_hh = next(it)
-        att_b = next(it)
-        q_w = next(it)
-        q_b = next(it)
-        v_w = next(it)
-        lstm_refs = [(next(it), next(it), next(it)) for _ in range(n_layers)]
-        dense_refs = [(next(it), next(it)) for _ in range(2)]
-        conv_w = next(it)
-        conv_b = next(it)
-        gate_refs = (next(it), next(it)) if has_gate else None
+        thresh_ref = next(it)
+        nvin_ref = next(it)
+        hbm_refs = [next(it) for _ in range(n_resident)]
         mel_ref = next(it)
         attn_ref = next(it)
         gate_ref = next(it)
+        res = [next(it) for _ in range(n_resident)]  # VMEM weight copies
         h_att = next(it)
         c_att = next(it)
         state_refs = [(next(it), next(it)) for _ in range(n_layers)]
         prev_ref = next(it)
+        done_ref = next(it)
+        all_done = next(it)
+        sems = next(it)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
+            # one-time weight residency: HBM -> VMEM scratch. Started
+            # all at once, then waited — the copies overlap each other.
+            for i, (src, dst) in enumerate(zip(hbm_refs, res)):
+                pltpu.make_async_copy(src, dst, sems.at[i]).start()
+            for i, (src, dst) in enumerate(zip(hbm_refs, res)):
+                pltpu.make_async_copy(src, dst, sems.at[i]).wait()
             h_att[:] = jnp.zeros_like(h_att)
             c_att[:] = jnp.zeros_like(c_att)
             for h_l, c_l in state_refs:
                 h_l[:] = jnp.zeros_like(h_l)
                 c_l[:] = jnp.zeros_like(c_l)
             prev_ref[:] = jnp.zeros_like(prev_ref)
+            done_ref[:] = jnp.zeros_like(done_ref)
+            all_done[0] = 0
 
-        cdt = att_w_ih.dtype  # compute dtype (bf16)
+        rit = iter(res)
+        kp_ref = next(rit)
+        vals_ref = next(rit)
+        att_w_ih = next(rit)
+        att_w_hh = next(rit)
+        att_b = next(rit)
+        q_w = next(rit)
+        q_b = next(rit)
+        v_w = next(rit)
+        lstm_refs = [(next(rit), next(rit), next(rit))
+                     for _ in range(n_layers)]
+        dense_refs = [(next(rit), next(rit)) for _ in range(2)]
+        conv_w = next(rit)
+        conv_b = next(rit)
+        gate_refs = (next(rit), next(rit)) if has_gate else None
+
+        cdt = att_w_ih.dtype  # compute dtype
+        # hoisted out of the fori_loop: program_id cannot lower inside
+        # the loop body under interpret mode
+        chunk_base = pl.program_id(0) * chunk
 
         def lstm_step(x, w_ih, w_hh, b, h_ref, c_ref):
             gates = (
@@ -163,24 +190,60 @@ def _make_kernel(n_layers, has_gate, M, H, D, Tk, chunk):
             prev_ref[:] = out
             mel_ref[ti] = out.astype(mel_ref.dtype)
             attn_ref[ti] = attn.astype(attn_ref.dtype)
+
+            if early_exit:
+                g_now = gate_ref[ti, 0] if has_gate \
+                    else jnp.zeros((mel_ref.shape[1],), jnp.float32)
+                t_glob = (chunk_base + ti).astype(jnp.float32)
+                done_ref[0] = jnp.maximum(
+                    done_ref[0],
+                    jnp.maximum(
+                        (g_now > thresh_ref[0, 0]).astype(jnp.float32),
+                        (t_glob + 1.0 >= nvin_ref[0]).astype(jnp.float32)))
             return 0
 
-        jax.lax.fori_loop(0, chunk, one_step, 0)
+        if not early_exit:
+            jax.lax.fori_loop(0, chunk, one_step, 0)
+            return
+
+        was_done = all_done[0]  # snapshot: the compute branch updates it
+
+        @pl.when(was_done == 0)
+        def _():
+            jax.lax.fori_loop(0, chunk, one_step, 0)
+            all_done[0] = (jnp.min(done_ref[0]) > 0.5).astype(jnp.int32)
+
+        @pl.when(was_done == 1)
+        def _():
+            # every stream finished: skip all compute for this chunk
+            # (the reference breaks its frame loop here). gate=1 keeps
+            # the outside first-hit n_valid computation unchanged.
+            mel_ref[:] = jnp.zeros_like(mel_ref)
+            attn_ref[:] = jnp.zeros_like(attn_ref)
+            gate_ref[:] = jnp.ones_like(gate_ref)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
 def fused_flow_infer(weights, residual, k_proj, vals, key_mask, temperature,
-                     interpret=False):
+                     interpret=False, early_exit=False, gate_threshold=1e6,
+                     n_valid_in=None):
     """Run one flow's full inverse scan in a single Pallas kernel.
 
     Args:
-      weights: dict from pack_flow_weights (bf16 2-D arrays + biases).
+      weights: dict from pack_flow_weights (2-D arrays + biases).
       residual: (N, B, M) latents, any float dtype.
       k_proj / vals: (B, Tk, D) precomputed attention projections.
       key_mask: (B, Tk) float (1 = valid); pass ones if None upstream.
       temperature: scalar.
+      early_exit: once EVERY stream is finished — its gate fired above
+        gate_threshold, or its frame index passed n_valid_in — the
+        remaining time chunks skip all compute and write zeros. Frames
+        at/before each stream's finish point are identical to
+        early_exit=False; later frames are unspecified (callers must
+        honor n_valid, which they already do).
+      gate_threshold / n_valid_in: only consulted when early_exit.
 
     Returns (mel (N, B, M) f32, attn (N, B, Tk) f32, gates (N, B) f32).
     """
@@ -194,42 +257,49 @@ def fused_flow_infer(weights, residual, k_proj, vals, key_mask, temperature,
             interpret = jax.default_backend() != "tpu"
         except Exception:  # pragma: no cover
             interpret = True
-    # timesteps per grid step: amortizes the per-grid-step pipeline
-    # bookkeeping on the resident weight blocks
+    # timesteps per grid step: amortizes per-grid-step pipeline
+    # bookkeeping and bounds the early-exit skip granularity
     chunk = next(c for c in (16, 10, 8, 5, 4, 2, 1) if N % c == 0)
 
+    if n_valid_in is None:
+        n_valid_in = jnp.full((B,), N, jnp.int32)
+
     cdt = weights["att_w_ih"].dtype  # compute dtype (bf16 in serving)
+
+    # ---- resident arrays: DMA'd to VMEM scratch once at grid step 0
+    resident = [k_proj.astype(cdt), vals.astype(cdt),
+                weights["att_w_ih"], weights["att_w_hh"], weights["att_b"],
+                weights["q_w"], weights["q_b"], weights["v_w"]]
+    for (w_ih, w_hh, b) in weights["lstm"]:
+        resident += [w_ih, w_hh, b]
+    for (dw, db) in weights["dense"]:
+        resident += [dw, db]
+    resident += [weights["conv_w"], weights["conv_b"]]
+    if has_gate:
+        resident += [weights["gate_w"], weights["gate_b"]]
+    n_resident = len(resident)
+
     args = [
         residual.astype(cdt),
-        k_proj.astype(cdt),
-        vals.astype(cdt),
         key_mask.astype(jnp.float32),
         jnp.asarray(temperature, jnp.float32).reshape(1, 1),
-        weights["att_w_ih"], weights["att_w_hh"], weights["att_b"],
-        weights["q_w"], weights["q_b"], weights["v_w"],
-    ]
-    for (w_ih, w_hh, b) in weights["lstm"]:
-        args += [w_ih, w_hh, b]
-    for (dw, db) in weights["dense"]:
-        args += [dw, db]
-    args += [weights["conv_w"], weights["conv_b"]]
-    if has_gate:
-        args += [weights["gate_w"], weights["gate_b"]]
-
-    def const(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda t, _n=nd: (0,) * _n,
-                            memory_space=pltpu.VMEM)
+        jnp.asarray(gate_threshold, jnp.float32).reshape(1, 1),
+        jnp.asarray(n_valid_in, jnp.float32).reshape(1, B),
+    ] + resident
 
     in_specs = [
         pl.BlockSpec((chunk, B, M), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM),          # z
-        const((B, Tk, D)), const((B, Tk, D)), const((B, Tk)),
+                     memory_space=pltpu.VMEM),           # z
+        pl.BlockSpec((B, Tk), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),           # key mask
         pl.BlockSpec((1, 1), lambda t: (0, 0),
                      memory_space=pltpu.SMEM),           # temperature
-    ]
-    for a in args[5:]:
-        in_specs.append(const(a.shape))
+        pl.BlockSpec((1, 1), lambda t: (0, 0),
+                     memory_space=pltpu.SMEM),           # gate threshold
+        pl.BlockSpec((1, B), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),           # n_valid_in
+    ] + [pl.BlockSpec(memory_space=pl.ANY)               # stay in HBM
+         for _ in range(n_resident)]
 
     out_specs = (
         pl.BlockSpec((chunk, B, M), lambda t: (t, 0, 0),
@@ -247,14 +317,20 @@ def fused_flow_infer(weights, residual, k_proj, vals, key_mask, temperature,
         jax.ShapeDtypeStruct((N, B, Tk), jnp.float32),
         jax.ShapeDtypeStruct((N, 1, B), jnp.float32),
     )
-    scratch = [pltpu.VMEM((B, H), jnp.float32),          # h_att
-               pltpu.VMEM((B, H), jnp.float32)]          # c_att
+
+    scratch = [pltpu.VMEM(a.shape, a.dtype) for a in resident]
+    scratch += [pltpu.VMEM((B, H), jnp.float32),         # h_att
+                pltpu.VMEM((B, H), jnp.float32)]         # c_att
     for _ in range(n_layers):
         scratch += [pltpu.VMEM((B, H), jnp.float32),
                     pltpu.VMEM((B, H), jnp.float32)]
-    scratch.append(pltpu.VMEM((B, M), jnp.float32))      # prev frame
+    scratch += [pltpu.VMEM((B, M), jnp.float32),         # prev frame
+                pltpu.VMEM((1, B), jnp.float32),         # done mask
+                pltpu.SMEM((1,), jnp.int32),             # all done
+                pltpu.SemaphoreType.DMA((n_resident,))]
 
-    kernel = _make_kernel(n_layers, has_gate, M, H, D, Tk, chunk)
+    kernel = _make_kernel(n_layers, has_gate, M, H, D, Tk, chunk,
+                          n_resident, early_exit)
     mel, attn, gates = pl.pallas_call(
         kernel,
         grid=(N // chunk,),
@@ -263,7 +339,7 @@ def fused_flow_infer(weights, residual, k_proj, vals, key_mask, temperature,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=128 * 1024 * 1024,
             # the grid dim carries LSTM state in scratch: sequential
             dimension_semantics=("arbitrary",)),
         interpret=interpret,

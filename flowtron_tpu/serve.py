@@ -68,7 +68,7 @@ class SynthesisEngine:
         def synth(params, residual, sids, text, in_lens):
             return flowtron_infer(params, self.static_cfg, residual, sids,
                                   text, gate_threshold=0.5, in_lens=in_lens,
-                                  fused=fused)
+                                  fused="early" if fused else False)
 
         self._synth = jax.jit(synth)
         self._queue = queue.Queue()

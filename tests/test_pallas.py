@@ -218,3 +218,42 @@ class TestFusedDecoder:
         mel_ref, _, _ = ar_step_infer(q, residual, text, gate_threshold=1e6)
         np.testing.assert_allclose(np.asarray(mel_q), np.asarray(mel_ref),
                                    atol=1e-6)
+
+    def test_early_exit_semantics(self):
+        """fused="early" skips chunks after all gates fire: n_valid and
+        the valid prefix match the scan path exactly; later frames are
+        zeros (unspecified by contract), never NaN."""
+        from flowtron_tpu.models import flowtron_init, flowtron_infer
+        params, config = flowtron_init(
+            jax.random.PRNGKey(0), n_flows=2, use_gate_layer=True,
+            n_speakers=2, n_speaker_dim=4, n_text=185, n_text_dim=12,
+            n_mel_channels=8, n_hidden=16, n_attn_channels=8,
+            n_lstm_layers=2, mel_encoder_n_hidden=8)
+        for i, f in enumerate(params["flows"]):
+            k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+            f["conv"]["w"] = 0.05 * jax.random.normal(k, f["conv"]["w"].shape)
+        gate = params["flows"][-1]["gate_layer"]
+        gate["w"] = jnp.ones_like(gate["w"]) * 0.2
+
+        rng = np.random.default_rng(3)
+        B, N = 3, 40  # chunk=10 -> 4 grid steps
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.8).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 7)))
+        sids = jnp.asarray([0, 1, 0])
+
+        # 0.35: every stream fires in chunk 0 -> chunks 1-3 skipped;
+        # 0.55: one early hit, two never -> no chunk skipped
+        for thresh in (0.35, 0.55):
+            mel_s, _, nv_s = flowtron_infer(
+                params, config, residual, sids, text, gate_threshold=thresh)
+            mel_e, _, nv_e = flowtron_infer(
+                params, config, residual, sids, text, gate_threshold=thresh,
+                fused="early")
+            np.testing.assert_array_equal(np.asarray(nv_s), np.asarray(nv_e))
+            for b in range(B):
+                n = int(np.asarray(nv_s)[b])
+                np.testing.assert_allclose(
+                    np.asarray(mel_e)[b, :, :n], np.asarray(mel_s)[b, :, :n],
+                    atol=1e-4, err_msg=f"thresh={thresh} b={b}")
+            assert not np.isnan(np.asarray(mel_e)).any()
