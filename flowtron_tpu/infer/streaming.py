@@ -1,0 +1,302 @@
+"""Streaming synthesis: incremental mel + vocoder chunks.
+
+The reference synthesizes a full utterance before any audio exists
+(reference:inference.py:40-132 runs the whole frame loop, then the whole
+vocoder). For serving, time-to-first-audio matters more than total
+throughput. This module streams both stages under TPU constraints
+(fixed shapes, jit-once, no data-dependent Python in the compiled path):
+
+- **Mel stage** (`StreamingMelSynthesizer`): the AR inverse scan is
+  causal, so it chunks exactly — run `chunk_frames` steps per dispatch
+  with the scan carry (LSTM/attention state) threaded between calls
+  (models/ar_step.py `carry`/`return_carry`). Only forward-topology
+  models stream (n_flows == 1 in the reference's alternating layout:
+  a backward flow consumes the whole utterance by construction). Gate
+  termination is tracked on host across chunks, same first-hit
+  semantics as the offline path.
+
+- **Vocoder stage** (`StreamingVocoder`): WaveGlow is convolutional,
+  not causal, so chunking uses a sliding fixed-width window with
+  `context` mel frames of history and `lookahead` frames of delay;
+  only the interior span is emitted. Latents come from a
+  position-keyed generator (`positional_z`: one `jax.random.fold_in`
+  per absolute squeezed frame), so overlapping windows see identical
+  z and the emitted stream is window-invariant. The truncation error
+  from the finite window decays geometrically with context/lookahead
+  (WN receptive field per flow is 255 squeezed frames each side;
+  influence through 12 stacked flows decays much faster than its
+  formal support) — tests pin the deviation vs the offline pass.
+
+- `stream_tts` glues both into a generator of waveform chunks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowtron_tpu.models.ar_step import ar_step_infer
+from flowtron_tpu.models.flowtron import _encode_text
+from flowtron_tpu.utils.masks import sequence_mask
+from flowtron_tpu.vocoder.waveglow import (
+    waveglow_infer_z, waveglow_n_remaining,
+)
+
+HOP = 256  # audio samples per mel frame (data_config.hop_length)
+
+
+class StreamingMelSynthesizer:
+    """Chunked AR mel synthesis with carried scan state.
+
+    Usage:
+        s = StreamingMelSynthesizer(params, config, chunk_frames=40)
+        for mel_chunk in s.stream(key, speaker_ids, text, sigma=0.5):
+            ...  # (B, n_mel, chunk_frames), final chunk may be partial
+        s.n_valid  # (B,) total valid frames, gate semantics == offline
+    """
+
+    def __init__(self, params, config, chunk_frames=40, temperature=1.0,
+                 gate_threshold=0.5, max_frames=2000):
+        if config["n_flows"] != 1:
+            raise ValueError(
+                "streaming requires a forward-only model (n_flows=1 in the "
+                "reference's alternating layout); backward flows consume "
+                f"the full utterance. Got n_flows={config['n_flows']}.")
+        self.params = params
+        self.config = config
+        self.chunk_frames = int(chunk_frames)
+        self.temperature = float(temperature)
+        self.gate_threshold = float(gate_threshold)
+        self.max_frames = int(max_frames)
+        self.n_valid = None
+
+        flow = params["flows"][0]
+        self._has_gate = "gate_layer" in flow
+
+        def encode(p, sids, text, key_mask):
+            return _encode_text(p, config, sids, text, key_mask)
+
+        def chunk_step(p, z_chunk, enc, key_mask, carry):
+            return ar_step_infer(
+                p["flows"][0], z_chunk, enc, key_mask=key_mask,
+                temperature=self.temperature, carry=carry,
+                return_carry=True)
+
+        self._encode = jax.jit(encode)
+        self._chunk = jax.jit(chunk_step)
+
+    def stream(self, key, speaker_ids, text, sigma=0.5, in_lens=None,
+               residual=None):
+        """Generator of (B, n_mel, chunk_frames) mel chunks.
+
+        z is sampled per chunk via fold_in(key, chunk_index) unless a
+        full `residual` (B, n_mel, N) is supplied (testing /
+        style-transfer), in which case chunks are sliced from it.
+        After exhaustion, `self.n_valid` holds per-stream valid frame
+        counts (first gate hit, inclusive — offline semantics).
+        """
+        B = speaker_ids.shape[0]
+        n_mel = self.config["n_mel_channels"]
+        C = self.chunk_frames
+        key_mask = None
+        if in_lens is not None:
+            key_mask = sequence_mask(in_lens, text.shape[1])
+        enc = self._encode(self.params, speaker_ids, text, key_mask) \
+            if key_mask is not None else \
+            self._encode(self.params, speaker_ids, text, None)
+
+        if residual is not None:
+            max_frames = residual.shape[2]
+            res_tbm = jnp.transpose(residual, (2, 0, 1))  # (N, B, n_mel)
+        else:
+            max_frames = self.max_frames
+
+        carry = None
+        fired = np.zeros((B,), bool)
+        n_valid = np.full((B,), 0, np.int64)
+        done_at = None
+        c = 0
+        while c * C < max_frames:
+            if residual is not None:
+                z_c = res_tbm[c * C:(c + 1) * C]
+                if z_c.shape[0] < C:  # pad the tail to the fixed shape
+                    pad = C - z_c.shape[0]
+                    z_c = jnp.concatenate(
+                        [z_c, jnp.zeros((pad,) + z_c.shape[1:],
+                                        z_c.dtype)], 0)
+                n_real = min(C, max_frames - c * C)
+            else:
+                z_c = sigma * jax.random.normal(
+                    jax.random.fold_in(key, c), (C, B, n_mel))
+                n_real = min(C, max_frames - c * C)
+            mel_c, _attn, gates_c, carry = self._chunk(
+                self.params, z_c, enc, key_mask, carry)
+
+            if self._has_gate:
+                g = np.asarray(gates_c, np.float32)[:n_real]  # (n, B)
+                hit = g > self.gate_threshold
+                for b in range(B):
+                    if not fired[b] and hit[:, b].any():
+                        fired[b] = True
+                        n_valid[b] = c * C + int(hit[:, b].argmax()) + 1
+            newly_all_fired = self._has_gate and fired.all()
+            if newly_all_fired:
+                done_at = int(n_valid.max())
+
+            yield jnp.transpose(mel_c[:n_real], (1, 2, 0))
+            c += 1
+            if done_at is not None and c * C >= done_at:
+                break
+
+        total = min(c * C, max_frames)
+        n_valid[~fired] = total
+        self.n_valid = n_valid.copy()
+
+
+def positional_z(key, config, B, start, length, sigma, dtype=jnp.float32):
+    """Latents for absolute squeezed-frame positions [start, start+length).
+
+    One fold_in per position makes z a pure function of position, so any
+    two windows agree on their overlap. `length` must be static under
+    jit; `start` may be traced. Returns (z_main, z_early) in
+    waveglow_infer_z's layout.
+    """
+    n_flows = config["n_flows"]
+    k_main, *k_early = jax.random.split(key, 1 + n_flows)
+    pos = start + jnp.arange(length)
+
+    def draw(k, n_ch):
+        zs = jax.vmap(
+            lambda p: jax.random.normal(jax.random.fold_in(k, p),
+                                        (B, n_ch), dtype))(pos)
+        return sigma * jnp.transpose(zs, (1, 2, 0))  # (B, n_ch, T)
+
+    z_main = draw(k_main, waveglow_n_remaining(config))
+    z_early = [
+        draw(k_early[f], config["n_early_size"])
+        if (f % config["n_early_every"] == 0 and f > 0) else None
+        for f in range(n_flows)]
+    return z_main, z_early
+
+
+class StreamingVocoder:
+    """Sliding-window WaveGlow: push mel chunks, get waveform chunks.
+
+    Emits audio for mel span [emitted, emitted+n) only once `lookahead`
+    frames of future mel exist (or flush() is called); each window also
+    carries `context` frames of history. Window edges are clamped to the
+    true sequence ends, so boundary zero-padding matches the offline
+    pass exactly; interior truncation error is bounded by the tests.
+    """
+
+    def __init__(self, wg_params, wg_config, key, sigma=0.8,
+                 context=24, lookahead=16, impl="tc",
+                 dtype=jnp.float32):
+        self.params = wg_params
+        self.config = wg_config
+        self.key = key
+        self.sigma = float(sigma)
+        self.context = int(context)
+        self.lookahead = int(lookahead)
+        self.sq_per_frame = HOP // wg_config["n_group"]
+        self._mel = None        # (B, n_mel, F) host-side buffer
+        self._emitted = 0
+        self._dtype = dtype
+
+        def window_audio(p, mel_win, w0_frames, k):
+            B = mel_win.shape[0]
+            Tg = mel_win.shape[2] * self.sq_per_frame
+            s = w0_frames * self.sq_per_frame
+            z_main, z_early = positional_z(
+                k, wg_config, B, s, Tg, self.sigma, dtype)
+            return waveglow_infer_z(p, wg_config, mel_win, z_main,
+                                    z_early, impl=impl)
+
+        self._window_audio = jax.jit(window_audio)
+
+    def reset(self, key=None):
+        """Start a new utterance (optionally with a new latent key),
+        keeping the compiled window function warm across requests."""
+        self._mel = None
+        self._emitted = 0
+        if key is not None:
+            self.key = key
+
+    def push(self, mel_chunk):
+        """Append (B, n_mel, n) mel frames; return ready audio
+        (B, m*HOP) — possibly zero-length while lookahead fills."""
+        mel_chunk = np.asarray(jax.device_get(mel_chunk))
+        self._mel = mel_chunk if self._mel is None else \
+            np.concatenate([self._mel, mel_chunk], axis=2)
+        F = self._mel.shape[2]
+        ready = F - self.lookahead - self._emitted
+        if ready <= 0:
+            return np.zeros((self._mel.shape[0], 0), np.float32)
+        return self._emit(ready, F)
+
+    def flush(self):
+        """Emit everything remaining (end of utterance)."""
+        if self._mel is None:
+            return np.zeros((1, 0), np.float32)
+        F = self._mel.shape[2]
+        ready = F - self._emitted
+        if ready <= 0:
+            return np.zeros((self._mel.shape[0], 0), np.float32)
+        return self._emit(ready, F, at_end=True)
+
+    def _emit(self, n, F, at_end=False):
+        e0 = self._emitted
+        W = self.context + n + self.lookahead
+        w0 = max(0, e0 - self.context)
+        if not at_end:
+            # slide left if the right edge would pass the buffer
+            w0 = min(w0, max(0, F - W))
+            w1 = min(F, w0 + W)
+        else:
+            w1 = F
+            w0 = max(0, w1 - W)
+        mel_win = jnp.asarray(self._mel[:, :, w0:w1], self._dtype)
+        audio = self._window_audio(self.params, mel_win, w0, self.key)
+        lo = (e0 - w0) * HOP
+        out = np.asarray(jax.device_get(audio))[:, lo:lo + n * HOP]
+        self._emitted = e0 + n
+        return out.astype(np.float32)
+
+
+def pump_stream(mel_s, voc, key, speaker_ids, text, sigma=0.5,
+                in_lens=None):
+    """Drive a mel streamer into a vocoder streamer; yields waveform
+    chunks. Shared by stream_tts and the serving engine (which keeps
+    both streamers warm across requests)."""
+    pending = 0
+    for mel_chunk in mel_s.stream(key, speaker_ids, text, sigma=sigma,
+                                  in_lens=in_lens):
+        audio = voc.push(mel_chunk)
+        pending += mel_chunk.shape[2]
+        if audio.shape[1]:
+            yield audio
+    # trim the final buffer to the gate's n_valid before flushing
+    nv = int(mel_s.n_valid.max()) if mel_s.n_valid is not None else pending
+    if voc._mel is not None and voc._mel.shape[2] > nv:
+        voc._mel = voc._mel[:, :, :nv]
+    tail = voc.flush()
+    if tail.shape[1]:
+        yield tail
+
+
+def stream_tts(params, config, wg_params, wg_config, key, speaker_ids,
+               text, sigma=0.5, wg_sigma=0.8, chunk_frames=40,
+               gate_threshold=0.5, max_frames=2000, in_lens=None,
+               context=24, lookahead=16, impl="tc"):
+    """Full streaming TTS: yields (B, n*HOP) float32 waveform chunks.
+
+    Time-to-first-audio is one mel chunk + lookahead instead of the
+    whole utterance. Requires a forward-only (n_flows=1) model.
+    """
+    k_mel, k_voc = jax.random.split(key)
+    mel_s = StreamingMelSynthesizer(
+        params, config, chunk_frames=chunk_frames,
+        gate_threshold=gate_threshold, max_frames=max_frames)
+    voc = StreamingVocoder(wg_params, wg_config, k_voc, sigma=wg_sigma,
+                           context=context, lookahead=lookahead, impl=impl)
+    yield from pump_stream(mel_s, voc, k_mel, speaker_ids, text,
+                           sigma=sigma, in_lens=in_lens)

@@ -182,7 +182,7 @@ def ar_back_step_forward(params, mel, text, key_mask, out_mask, out_lens,
 
 def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
                   temperature=1.0, gate_threshold=0.5, n_valid=None,
-                  attn=None, fused=False):
+                  attn=None, fused=False, carry=None, return_carry=False):
     """Invert one flow step over sampled latents with a lax.scan.
 
     Args:
@@ -202,13 +202,20 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
         (reference:flowtron.py:823-825) under static shapes. Falls back
         to lax.scan when the flow is outside the kernel's subset
         (prior / cumulative or external attention / quantized weights).
+      carry / return_carry: chunked (streaming) synthesis. `carry` is the
+        opaque scan state from a previous call's `return_carry=True`
+        (None = fresh start); with return_carry=True the function returns
+        (mel, attn, gates_raw (N, B), carry) and skips gate->n_valid
+        bookkeeping — the streamer owns utterance termination across
+        chunks (infer/streaming.py).
 
     Returns (mel, attn_weights (B, N, Tk), n_valid_out (B,)).
     """
     from flowtron_tpu.infer.quantize import weight_shape
     N, B, n_mel = residual.shape
 
-    if fused and attn_prior is None and attn is None \
+    if fused and not return_carry and carry is None \
+            and attn_prior is None and attn is None \
             and "attn_cond_layer" not in params:
         from flowtron_tpu.ops.decoder_pallas import (
             pack_flow_weights, fused_flow_infer)
@@ -302,7 +309,7 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
                      attn_cumm, attn_w)
         return new_carry, (out, attn_w, gate)
 
-    init = (
+    init = carry if carry is not None else (
         jnp.zeros((B, H), residual.dtype),
         jnp.zeros((B, H), residual.dtype),
         tuple(jnp.zeros((B, H), residual.dtype) for _ in range(n_layers)),
@@ -316,7 +323,10 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
     attn_xs = attn.transpose(1, 0, 2) if attn is not None else None
     xs = (residual, prior_xs, attn_xs)
 
-    _, (mel, attn_w, gates) = jax.lax.scan(cell, init, xs)
+    carry_out, (mel, attn_w, gates) = jax.lax.scan(cell, init, xs)
+
+    if return_carry:
+        return mel, attn_w.transpose(1, 0, 2), gates, carry_out
 
     if has_gate:
         # first frame whose gate fires ends the utterance (inclusive),

@@ -9,6 +9,9 @@ HTTP front end.
 POST /synthesize  {"text": "...", "speaker_id": 0, "sigma": 0.5,
                    "n_frames": 400, "seed": 1234}
   -> audio/wav bytes (Griffin-Lim fallback or WaveGlow when loaded)
+POST /stream      same body -> chunked-transfer audio/wav: bytes flow
+                  as synthesis runs (forward-only models + vocoder;
+                  see infer/streaming.py)
 GET /healthz      -> {"status": "ok", "queue_depth": N}
 
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
@@ -71,9 +74,63 @@ class SynthesisEngine:
                                   fused="early" if fused else False)
 
         self._synth = jax.jit(synth)
+
+        # streaming path: forward-only model + neural vocoder required.
+        # One warm streamer pair reused across requests (serialized by a
+        # lock — streaming is the latency path, not the throughput path).
+        self._streamers = None
+        self._stream_lock = threading.Lock()
+        if self.static_cfg["n_flows"] == 1 and self.wg is not None:
+            from flowtron_tpu.infer.streaming import (
+                StreamingMelSynthesizer, StreamingVocoder)
+            wg_params, wg_cfg = self.wg
+            self._streamers = (
+                StreamingMelSynthesizer(self.params, self.static_cfg,
+                                        chunk_frames=40,
+                                        gate_threshold=0.5,
+                                        max_frames=n_frames),
+                StreamingVocoder(wg_params, wg_cfg,
+                                 jax.random.PRNGKey(0), sigma=0.8))
+
         self._queue = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    @property
+    def can_stream(self):
+        return self._streamers is not None
+
+    def stream(self, text, speaker_id=0, sigma=0.5, seed=1234):
+        """Generator of mono int16 PCM chunks (time-to-first-audio is one
+        mel chunk + vocoder lookahead). Requires n_flows == 1 and a
+        loaded vocoder; amplitude uses a fixed clip scale (a streaming
+        response cannot be normalized to its own global peak)."""
+        if self._streamers is None:
+            raise RuntimeError(
+                "streaming requires a forward-only model (n_flows=1) "
+                "and a neural vocoder (-w)")
+        from flowtron_tpu.infer.streaming import pump_stream
+        ids = self.frontend.get_text(text)
+        if len(ids) == 0:
+            raise ValueError("empty text after cleaning")
+        Tk = self._bucket(len(ids))
+        text_pad = np.zeros((1, Tk), np.int64)
+        n = min(len(ids), Tk)
+        text_pad[0, :n] = np.asarray(ids)[:n]
+        sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
+
+        jnp = self.jnp
+        with self._stream_lock:
+            mel_s, voc = self._streamers
+            k_mel, k_voc = self.jax.random.split(
+                self.jax.random.PRNGKey(int(seed)))
+            voc.reset(k_voc)
+            for audio in pump_stream(
+                    mel_s, voc, k_mel, jnp.asarray([sid]),
+                    jnp.asarray(text_pad), sigma=float(sigma),
+                    in_lens=jnp.asarray([n])):
+                chunk = np.clip(audio[0], -1.0, 1.0)
+                yield (chunk * 32767).astype(np.int16)
 
     # -- request path -----------------------------------------------------
     def submit(self, text, speaker_id=0, sigma=0.5, seed=1234):
@@ -180,10 +237,21 @@ def _wav_bytes(wav_int16, sr):
     return buf.getvalue()
 
 
+def _wav_stream_header(sr):
+    """RIFF/WAVE header with unknown (0xFFFFFFFF) sizes — the standard
+    convention for live PCM16 mono streams; players read to EOF."""
+    import struct
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16) +
+            b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 def make_handler(engine):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer for /stream
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -203,6 +271,9 @@ def make_handler(engine):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/stream":
+                self._do_stream()
+                return
             if self.path != "/synthesize":
                 self._json(404, {"error": "not found"})
                 return
@@ -223,6 +294,41 @@ def make_handler(engine):
                 self._json(400, {"error": f"missing field {e}"})
             except Exception as e:
                 self._json(500, {"error": repr(e)})
+
+        def _do_stream(self):
+            """Chunked-transfer WAV: audio bytes flow as synthesis runs
+            (one mel chunk + vocoder lookahead to first byte)."""
+            if not engine.can_stream:
+                self._json(501, {"error": "streaming requires a "
+                                 "forward-only (n_flows=1) model and a "
+                                 "neural vocoder"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                gen = engine.stream(
+                    req["text"], req.get("speaker_id", 0),
+                    req.get("sigma", 0.5), req.get("seed", 1234))
+            except KeyError as e:
+                self._json(400, {"error": f"missing field {e}"})
+                return
+            except Exception as e:
+                self._json(500, {"error": repr(e)})
+                return
+            sr = engine.data_config["sampling_rate"]
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(b):
+                self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+            write_chunk(_wav_stream_header(sr))
+            for pcm in gen:
+                if len(pcm):
+                    write_chunk(pcm.tobytes())
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

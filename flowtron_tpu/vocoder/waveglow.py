@@ -348,30 +348,57 @@ def waveglow_forward(params, config, spect, audio, impl="tc"):
     return jnp.concatenate(output_audio, axis=1), log_s_list, log_det_list
 
 
+def waveglow_n_remaining(config):
+    """Channel count of the innermost (last) flow after early outputs."""
+    n_remaining = config["n_group"]
+    for f in range(config["n_flows"]):
+        if f % config["n_early_every"] == 0 and f > 0:
+            n_remaining -= config["n_early_size"]
+    return n_remaining
+
+
 def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="tc"):
     """spect (B, 80, T_mel) -> audio (B, T_audio). Exact inverse pass."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    n_flows = config["n_flows"]
+    T_audio = spect.shape[2] * 256
+    Tg = T_audio // config["n_group"]
+    B = spect.shape[0]
+
+    k_main, *k_early = jax.random.split(key, 1 + n_flows)
+    z_main = sigma * jax.random.normal(
+        k_main, (B, waveglow_n_remaining(config), Tg), spect.dtype)
+    z_early = [
+        sigma * jax.random.normal(k_early[f],
+                                  (B, config["n_early_size"], Tg),
+                                  spect.dtype)
+        if (f % config["n_early_every"] == 0 and f > 0) else None
+        for f in range(n_flows)]
+    return waveglow_infer_z(params, config, spect, z_main, z_early,
+                            impl=impl)
+
+
+def waveglow_infer_z(params, config, spect, z_main, z_early, impl="tc"):
+    """Inverse pass with externally supplied latents.
+
+    z_main: (B, n_remaining, Tg) innermost latents (sigma already
+    applied); z_early: list of n_flows entries, (B, n_early_size, Tg)
+    at each early-output flow index, None elsewhere. Splitting this out
+    of waveglow_infer lets chunked/streaming synthesis
+    (infer/streaming.py) feed position-consistent latents so
+    overlapping windows agree exactly.
+    """
     n_group = config["n_group"]
     n_flows = config["n_flows"]
     n_early_every = config["n_early_every"]
-    n_early_size = config["n_early_size"]
 
     T_audio = spect.shape[2] * 256
     Tg = T_audio // n_group
     spect_g = _upsample_mel(params, spect, n_group, Tg * n_group)
     spect_g = spect_g[:, :, :Tg]
-    B = spect.shape[0]
 
-    # channel count of the innermost (last) flow
-    n_remaining = config["n_group"]
-    for f in range(n_flows):
-        if f % n_early_every == 0 and f > 0:
-            n_remaining -= n_early_size
-
-    k_main, *k_early = jax.random.split(key, 1 + n_flows)
-    audio_g = sigma * jax.random.normal(k_main, (B, n_remaining, Tg),
-                                        spect.dtype)
+    audio_g = z_main
 
     for f in reversed(range(n_flows)):
         n_half = audio_g.shape[1] // 2
@@ -388,9 +415,7 @@ def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="tc"):
         audio_g = jnp.einsum("ij,bjt->bit", W_inv, audio_g)
 
         if f % n_early_every == 0 and f > 0:
-            z = sigma * jax.random.normal(k_early[f],
-                                          (B, n_early_size, Tg), spect.dtype)
-            audio_g = jnp.concatenate([z, audio_g], axis=1)
+            audio_g = jnp.concatenate([z_early[f], audio_g], axis=1)
 
     return _unsqueeze_audio(audio_g)
 

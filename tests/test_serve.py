@@ -76,3 +76,78 @@ class TestEngine:
     def test_long_text_truncated_to_bucket(self, engine):
         wav, _ = engine.submit("word " * 50, 0)  # exceeds largest bucket
         assert len(wav) > 0
+
+
+@pytest.fixture(scope="module")
+def stream_engine(tmp_path_factory):
+    """1-flow model + tiny vocoder: the streaming serving path."""
+    import jax
+    import pickle
+    from flowtron_tpu.models import flowtron_init
+    from flowtron_tpu.train.checkpoints import save_checkpoint
+    from flowtron_tpu.train.radam import radam
+    from flowtron_tpu.vocoder import waveglow_init
+    from flowtron_tpu.serve import SynthesisEngine
+
+    root = tmp_path_factory.mktemp("stream_serve")
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(4096) * 2000).astype(np.int16)
+    wavfile.write(root / "u.wav", 22050, wav)
+    (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+
+    small = dict(n_speakers=1, n_speaker_dim=4, n_text=185, n_text_dim=16,
+                 n_mel_channels=8, n_hidden=12, n_attn_channels=8,
+                 n_lstm_layers=2, mel_encoder_n_hidden=8)
+    params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
+                              use_gate_layer=True, **small)
+    ckpt = str(root / "model")
+    save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+
+    wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
+                             n_flows=4, n_group=8, n_early_every=2,
+                             n_early_size=2, n_layers=3, n_channels=16)
+    wg_path = str(root / "wg.pkl")
+    with open(wg_path, "wb") as f:
+        pickle.dump({"params": wgp, "config": wgc}, f)
+
+    from flowtron_tpu.config import load_config
+    config = load_config(overrides=[
+        f"data_config.training_files={root}/fl.txt",
+        f"data_config.validation_files={root}/fl.txt",
+        "data_config.p_arpabet=0.0",
+        "data_config.cmudict_path=",
+        "data_config.heteronyms_path=",
+        "data_config.use_attn_prior=False",
+    ])
+    config["model_config"] = dict(small, n_flows=1, use_gate_layer=True)
+    return SynthesisEngine(config, ckpt, waveglow_path=wg_path,
+                           max_batch=2, batch_timeout_ms=20,
+                           text_buckets=(16, 32), n_frames=48)
+
+
+class TestStreamingEngine:
+    def test_can_stream(self, stream_engine, engine):
+        assert stream_engine.can_stream
+        assert not engine.can_stream  # 2-flow model, no vocoder
+
+    def test_stream_produces_pcm(self, stream_engine):
+        chunks = list(stream_engine.stream("Hello there.", 0, seed=7))
+        assert chunks, "no chunks"
+        wav = np.concatenate(chunks)
+        assert wav.dtype == np.int16
+        assert len(wav) % 256 == 0
+        assert len(wav) >= 256
+
+    def test_stream_seed_changes_audio(self, stream_engine):
+        a = np.concatenate(list(stream_engine.stream("Same text.", 0,
+                                                     seed=1)))
+        b = np.concatenate(list(stream_engine.stream("Same text.", 0,
+                                                     seed=2)))
+        n = min(len(a), len(b))
+        assert not np.array_equal(a[:n], b[:n])
+
+    def test_stream_reentrant_after_reset(self, stream_engine):
+        a = np.concatenate(list(stream_engine.stream("One.", 0, seed=3)))
+        b = np.concatenate(list(stream_engine.stream("One.", 0, seed=3)))
+        # same seed + same text through the warm streamers -> identical
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,200 @@
+"""Streaming synthesis: chunked output must match the offline pass.
+
+- mel stage: chunked scan with carried state is exact vs the full scan
+- vocoder stage: sliding-window emission with position-keyed latents is
+  window-invariant; deviation vs the offline full pass is bounded and
+  shrinks as context/lookahead grow
+- stream_tts: end-to-end generator respects gate termination
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flowtron_tpu.models import flowtron_init, flowtron_infer
+from flowtron_tpu.models.ar_step import ar_step_infer
+from flowtron_tpu.infer.streaming import (
+    StreamingMelSynthesizer, StreamingVocoder, stream_tts, positional_z,
+)
+from flowtron_tpu.vocoder import (
+    waveglow_init, waveglow_infer_z,
+)
+
+SMALL = dict(n_speakers=2, n_speaker_dim=4, n_text=185, n_text_dim=12,
+             n_mel_channels=8, n_hidden=16, n_attn_channels=8,
+             n_lstm_layers=2, mel_encoder_n_hidden=8)
+
+
+@pytest.fixture(scope="module")
+def model1():
+    params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
+                                   use_gate_layer=True, **SMALL)
+    # give the zero-init coupling some signal
+    f = params["flows"][0]
+    f["conv"]["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(1),
+                                              f["conv"]["w"].shape)
+    return params, config
+
+
+@pytest.fixture(scope="module")
+def wg_small():
+    return waveglow_init(jax.random.PRNGKey(2), n_mel_channels=8,
+                         n_flows=4, n_group=8, n_early_every=2,
+                         n_early_size=2, n_layers=3, n_channels=16)
+
+
+class TestMelStreaming:
+    def test_chunked_matches_offline(self, model1):
+        params, config = model1
+        rng = np.random.default_rng(0)
+        B, N = 2, 50
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.6).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 7)))
+        sids = jnp.asarray([0, 1])
+
+        mel_full, _, nv_full = flowtron_infer(
+            params, config, residual, sids, text, gate_threshold=0.35)
+
+        s = StreamingMelSynthesizer(params, config, chunk_frames=16,
+                                    gate_threshold=0.35)
+        chunks = list(s.stream(jax.random.PRNGKey(0), sids, text,
+                               residual=residual))
+        streamed = np.concatenate([np.asarray(c) for c in chunks], axis=2)
+
+        np.testing.assert_array_equal(np.asarray(nv_full), s.n_valid)
+        n = streamed.shape[2]
+        for b in range(B):
+            nb = min(int(s.n_valid[b]), n)
+            np.testing.assert_allclose(
+                streamed[b, :, :nb], np.asarray(mel_full)[b, :, :nb],
+                atol=1e-5)
+
+    def test_gate_stops_stream(self, model1):
+        params, config = model1
+        # bias the gate hard positive: should stop after the first chunk
+        p = jax.tree.map(lambda x: x, params)
+        p["flows"][0]["gate_layer"]["b"] = jnp.asarray([5.0])
+        s = StreamingMelSynthesizer(p, config, chunk_frames=8,
+                                    max_frames=400)
+        text = jnp.asarray(np.random.default_rng(1).integers(1, 185, (1, 5)))
+        chunks = list(s.stream(jax.random.PRNGKey(3),
+                               jnp.zeros((1,), jnp.int32), text))
+        assert len(chunks) == 1
+        assert s.n_valid[0] == 1
+
+    def test_two_flow_model_rejected(self):
+        params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                       use_gate_layer=True, **SMALL)
+        with pytest.raises(ValueError, match="forward-only"):
+            StreamingMelSynthesizer(params, config)
+
+    def test_carry_roundtrip_exact(self, model1):
+        """ar_step_infer carry API: split scan == one scan, bitwise."""
+        params, config = model1
+        flow = params["flows"][0]
+        rng = np.random.default_rng(2)
+        N, B = 24, 1
+        z = jnp.asarray((rng.standard_normal((N, B, 8)) * 0.5)
+                        .astype(np.float32))
+        enc = jnp.asarray((rng.standard_normal((5, B, 12 + 4)) * 0.3)
+                          .astype(np.float32))
+        mel_a, _, g_a, carry = ar_step_infer(flow, z[:12], enc,
+                                             return_carry=True)
+        mel_b, _, g_b, _ = ar_step_infer(flow, z[12:], enc, carry=carry,
+                                         return_carry=True)
+        mel_full, _, g_full, _ = ar_step_infer(flow, z, enc,
+                                               return_carry=True)
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(mel_a), np.asarray(mel_b)]),
+            np.asarray(mel_full))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(g_a), np.asarray(g_b)]),
+            np.asarray(g_full))
+
+
+class TestVocoderStreaming:
+    def _offline(self, wg, mel, key, sigma):
+        params, cfg = wg
+        Tg = mel.shape[2] * 256 // cfg["n_group"]
+        z_main, z_early = positional_z(key, cfg, mel.shape[0], 0, Tg, sigma)
+        return np.asarray(waveglow_infer_z(params, cfg, mel, z_main,
+                                           z_early))
+
+    def test_streamed_matches_offline(self, wg_small):
+        params, cfg = wg_small
+        rng = np.random.default_rng(3)
+        B, F = 1, 120
+        mel = jnp.asarray((rng.standard_normal((B, 8, F)) * 0.5 - 4.0)
+                          .astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        ref = self._offline(wg_small, mel, key, 0.8)
+
+        voc = StreamingVocoder(params, cfg, key, sigma=0.8,
+                               context=24, lookahead=16)
+        outs = []
+        for s in range(0, F, 30):
+            outs.append(voc.push(mel[:, :, s:s + 30]))
+        outs.append(voc.flush())
+        streamed = np.concatenate(outs, axis=1)
+
+        assert streamed.shape == ref.shape
+        scale = np.abs(ref).max() + 1e-9
+        dev = np.abs(streamed - ref).max() / scale
+        # truncated receptive field: small, bounded seam deviation
+        assert dev < 5e-3, dev
+
+    def test_more_context_tightens(self, wg_small):
+        params, cfg = wg_small
+        rng = np.random.default_rng(4)
+        mel = jnp.asarray((rng.standard_normal((1, 8, 90)) * 0.5 - 4.0)
+                          .astype(np.float32))
+        key = jax.random.PRNGKey(8)
+        ref = self._offline(wg_small, mel, key, 0.8)
+        devs = []
+        for ctx in (4, 32):
+            voc = StreamingVocoder(params, cfg, key, sigma=0.8,
+                                   context=ctx, lookahead=ctx)
+            outs = [voc.push(mel[:, :, s:s + 30]) for s in range(0, 90, 30)]
+            outs.append(voc.flush())
+            streamed = np.concatenate(outs, axis=1)
+            devs.append(np.abs(streamed - ref).max())
+        assert devs[1] <= devs[0]
+
+    def test_window_invariance(self, wg_small):
+        """Same stream content regardless of push granularity."""
+        params, cfg = wg_small
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray((rng.standard_normal((1, 8, 60)) * 0.5 - 4.0)
+                          .astype(np.float32))
+        key = jax.random.PRNGKey(9)
+
+        def run(step):
+            voc = StreamingVocoder(params, cfg, key, sigma=0.8,
+                                   context=16, lookahead=8)
+            outs = [voc.push(mel[:, :, s:s + step])
+                    for s in range(0, 60, step)]
+            outs.append(voc.flush())
+            return np.concatenate(outs, axis=1)
+
+        a, b = run(20), run(30)
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a - b).max() / scale < 5e-3
+
+
+class TestStreamTTS:
+    def test_end_to_end_generator(self, model1, wg_small):
+        params, config = model1
+        wgp, wgc = wg_small
+        text = jnp.asarray(np.random.default_rng(6).integers(1, 185, (1, 6)))
+        chunks = list(stream_tts(
+            params, config, wgp, wgc, jax.random.PRNGKey(11),
+            jnp.zeros((1,), jnp.int32), text, chunk_frames=16,
+            gate_threshold=0.35, max_frames=64, context=8, lookahead=8))
+        assert chunks, "no audio produced"
+        wav = np.concatenate(chunks, axis=1)
+        assert wav.shape[0] == 1
+        assert wav.shape[1] % 256 == 0
+        assert np.isfinite(wav).all()
+        assert wav.shape[1] >= 256  # at least one frame of audio
