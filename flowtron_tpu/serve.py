@@ -34,7 +34,8 @@ class SynthesisEngine:
 
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
-                 n_frames=400, int8=False, quantize="", fused=False):
+                 n_frames=400, int8=False, quantize="", fused=False,
+                 mesh_shape=None):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -73,7 +74,23 @@ class SynthesisEngine:
                                   text, gate_threshold=0.5, in_lens=in_lens,
                                   fused="early" if fused else False)
 
-        self._synth = jax.jit(synth)
+        self._batch_mult = 1
+        if mesh_shape:
+            # multi-chip serving: weights tensor-parallel over 'model',
+            # requests data-parallel over 'data' (GSPMD inserts the
+            # per-step collectives inside the AR scan over ICI)
+            from flowtron_tpu.parallel.mesh import (
+                make_mesh, place_params, param_shardings, data_sharded)
+            mesh = make_mesh(tuple(mesh_shape), ("data", "model"))
+            self.params = place_params(self.params, mesh)
+            pshard = param_shardings(self.params, mesh)
+            bshard = data_sharded(mesh)
+            self._batch_mult = int(mesh.shape["data"])
+            self._synth = jax.jit(
+                synth, in_shardings=(pshard, bshard, bshard, bshard,
+                                     bshard))
+        else:
+            self._synth = jax.jit(synth)
 
         # streaming path: forward-only model + neural vocoder required.
         # One warm streamer pair reused across requests (serialized by a
@@ -190,7 +207,9 @@ class SynthesisEngine:
         batch = keep
 
         Tk = self._bucket(max(len(i) for i in ids_list))
-        B = len(batch)
+        # batch rows must divide the mesh's data axis; pad with copies
+        m = self._batch_mult
+        B = ((len(batch) + m - 1) // m) * m
         text_pad = np.zeros((B, Tk), np.int64)
         in_lens = np.zeros((B,), np.int64)
         sids = np.zeros((B,), np.int64)
@@ -205,6 +224,9 @@ class SynthesisEngine:
             rng = self.jax.random.PRNGKey(int(seed))
             residual[b] = np.asarray(self.jax.random.normal(
                 rng, residual.shape[1:])) * float(sigma)
+        for b in range(len(batch), B):  # mesh padding: duplicate row 0
+            text_pad[b], in_lens[b] = text_pad[0], in_lens[0]
+            sids[b], residual[b] = sids[0], residual[0]
 
         mel, attns, n_valid = self._synth(
             self.params, jnp.asarray(residual), jnp.asarray(sids),
@@ -350,6 +372,10 @@ def main(argv=None):
     parser.add_argument("--fused", action="store_true",
                         help="VMEM-resident fused decoder kernel (best for "
                              "small max-batch / latency-sensitive serving)")
+    parser.add_argument("--mesh", default="",
+                        help="multi-chip serving mesh 'data,model', e.g. "
+                             "'2,4': weights tensor-parallel over model, "
+                             "requests sharded over data")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
@@ -361,7 +387,10 @@ def main(argv=None):
                              max_batch=args.max_batch,
                              batch_timeout_ms=args.batch_timeout_ms,
                              n_frames=args.n_frames, int8=args.int8,
-                             quantize=args.quantize, fused=args.fused)
+                             quantize=args.quantize, fused=args.fused,
+                             mesh_shape=[int(x) for x in
+                                         args.mesh.split(",")]
+                             if args.mesh else None)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

@@ -291,6 +291,45 @@ class TestShardedInference:
                                    atol=1e-5)
         np.testing.assert_array_equal(np.asarray(nv_8), np.asarray(nv_1))
 
+    def test_tp_inference_matches_single_device(self):
+        """flowtron_infer with weights sharded over a model axis
+        ((2 data x 4 model) mesh) reproduces single-device mels — the
+        multi-chip latency-serving layout (GSPMD inserts the per-step
+        collectives inside the AR scan)."""
+        from flowtron_tpu.models import flowtron_infer
+        from flowtron_tpu.parallel.mesh import place_params, param_shardings
+        from jax.sharding import PartitionSpec as P
+
+        params, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                    use_gate_layer=True, **SMALL)
+        rng = np.random.default_rng(4)
+        B, N, Tk = 4, 10, 6
+        residual = jnp.asarray(
+            (rng.standard_normal((B, SMALL["n_mel_channels"], N)) * 0.5)
+            .astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, Tk)))
+        sids = jnp.asarray(rng.integers(0, 2, B))
+
+        def run(p, r, s, t):
+            mel, _, n_valid = flowtron_infer(p, cfg, r, s, t,
+                                             gate_threshold=1e6)
+            return mel, n_valid
+
+        mel_1, nv_1 = jax.jit(run)(params, residual, sids, text)
+
+        mesh = make_mesh((2, 4), ("data", "model"))
+        shardings = param_shardings(params, mesh)
+        assert shardings["flows"][0]["lstm"]["layers"][0]["w_ih"].spec \
+            == P(None, "model")
+        p_tp = place_params(params, mesh)
+        shard = data_sharded(mesh)
+        args = [jax.device_put(v, shard) for v in (residual, sids, text)]
+        mel_tp, nv_tp = jax.jit(
+            run, in_shardings=(shardings, shard, shard, shard))(p_tp, *args)
+        np.testing.assert_allclose(np.asarray(mel_tp), np.asarray(mel_1),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(nv_tp), np.asarray(nv_1))
+
 
 class TestTensorParallel:
     def test_2d_mesh_matches_dp(self):
