@@ -85,6 +85,18 @@ def main():
     float(infer(qparams, residual, sids, text))
     int8_fps = K * B * N / (time.perf_counter() - t0)
 
+    # best measured serving point: int8 weights at B=128 (ROADMAP.md
+    # batch-scaling study: throughput peaks at 128 and falls beyond)
+    B2 = 128
+    residual2 = jnp.asarray(
+        (rng.standard_normal((B2, 80, N)) * 0.5).astype(np.float32))
+    text2 = jnp.asarray(rng.integers(1, 185, (B2, Tk)))
+    sids2 = jnp.zeros((B2,), jnp.int32)
+    float(infer(qparams, residual2, sids2, text2))
+    t0 = time.perf_counter()
+    float(infer(qparams, residual2, sids2, text2))
+    best_fps = K * B2 * N / (time.perf_counter() - t0)
+
     e2e_rtf, e2e_detail = bench_e2e(params, cfg)
 
     print(json.dumps({
@@ -98,6 +110,10 @@ def main():
                    "backend": jax.default_backend(), "dtype": "fp32",
                    "rtf_batch_wallclock": round(dt / (K * N * 256 / 22050), 4),
                    "int8_weights_frames_per_sec": round(int8_fps, 1),
+                   "best_serving_int8_b128_frames_per_sec":
+                       round(best_fps, 1),
+                   "best_serving_vs_baseline":
+                       round(best_fps / BASELINE_FRAMES_PER_SEC, 1),
                    "e2e": e2e_detail},
     }))
 

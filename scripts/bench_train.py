@@ -55,8 +55,11 @@ def main():
             }
             key = jax.random.PRNGKey(0)
             try:
-                p, o = jax.tree.map(lambda x: x, params), \
-                    jax.tree.map(lambda x: x, opt_state)
+                # deep-copy: the step donates its params/opt_state buffers
+                p = jax.tree.map(jnp.copy, params)
+                o = jax.tree.map(
+                    lambda x: jnp.copy(x) if hasattr(x, "dtype") else x,
+                    opt_state)
                 p, o, m = step(p, o, batch, key, 0.01)  # compile
                 float(m["loss"])
                 times = []
