@@ -346,11 +346,14 @@ def make_handler(engine):
             def write_chunk(b):
                 self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
 
-            write_chunk(_wav_stream_header(sr))
-            for pcm in gen:
-                if len(pcm):
-                    write_chunk(pcm.tobytes())
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                write_chunk(_wav_stream_header(sr))
+                for pcm in gen:
+                    if len(pcm):
+                        write_chunk(pcm.tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+            finally:
+                gen.close()  # client disconnect: release the streamers
 
     return Handler
 

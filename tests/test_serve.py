@@ -152,6 +152,16 @@ class TestStreamingEngine:
         # same seed + same text through the warm streamers -> identical
         np.testing.assert_array_equal(a, b)
 
+    def test_stream_abandoned_mid_way_releases_lock(self, stream_engine):
+        """A client disconnect closes the generator; the next stream
+        request must not deadlock on the streamer lock."""
+        gen = stream_engine.stream("A sentence to abandon.", 0, seed=4)
+        next(gen)
+        gen.close()
+        out = np.concatenate(list(stream_engine.stream("Recovered.", 0,
+                                                       seed=5)))
+        assert len(out) > 0
+
 
 class TestMeshServing:
     def test_tp_mesh_engine(self, tmp_path_factory):
