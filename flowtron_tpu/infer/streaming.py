@@ -254,6 +254,12 @@ class StreamingVocoder:
         else:
             w1 = F
             w0 = max(0, w1 - W)
+        # round the window width up to a bucket by extending LEFT into
+        # real history (exact semantics — just more context), so flush
+        # and ragged-tail windows reuse a few compiled shapes instead of
+        # one program per utterance length
+        bucket = -(-(w1 - w0) // 16) * 16
+        w0 = max(0, w1 - bucket)
         mel_win = jnp.asarray(self._mel[:, :, w0:w1], self._dtype)
         audio = self._window_audio(self.params, mel_win, w0, self.key)
         lo = (e0 - w0) * HOP
