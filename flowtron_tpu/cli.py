@@ -65,6 +65,10 @@ def inference_main(argv=None):
                         help="VMEM-resident fused decoder kernel (fastest "
                              "single-stream latency; incompatible with "
                              "--quantize)")
+    parser.add_argument("--stream", action="store_true",
+                        help="write the wav incrementally as synthesis "
+                             "runs (n_flows=1 models + vocoder -w; see "
+                             "infer/streaming.py)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()

@@ -63,6 +63,42 @@ def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
     return audio
 
 
+def _run_streaming(config, args, params, static_cfg, text_ids, speaker_id,
+                   data_config):
+    """--stream: write the wav incrementally as synthesis runs
+    (forward-only models + neural vocoder; see infer/streaming.py)."""
+    if not args.waveglow_path:
+        raise SystemExit("--stream requires a vocoder checkpoint (-w)")
+    from flowtron_tpu.vocoder import load_waveglow
+    from flowtron_tpu.infer.streaming import stream_tts
+
+    wg_params, wg_cfg = load_waveglow(args.waveglow_path)
+    os.makedirs(args.output_dir, exist_ok=True)
+    base = os.path.join(
+        args.output_dir,
+        f"sid{args.id}_sigma{args.sigma}_seed{args.seed}_stream")
+    import time
+    import wave
+    t0 = time.perf_counter()
+    n = 0
+    with wave.open(base + ".wav", "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(data_config["sampling_rate"])
+        for chunk in stream_tts(
+                params, static_cfg, wg_params, wg_cfg,
+                jax.random.PRNGKey(args.seed), jnp.asarray([speaker_id]),
+                jnp.asarray(np.asarray(text_ids)[None]), sigma=args.sigma,
+                gate_threshold=args.gate, max_frames=args.n_frames):
+            pcm = (np.clip(chunk[0], -1, 1) * 32767).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+            n += len(pcm)
+            print(f"  +{len(pcm)/data_config['sampling_rate']:.2f}s audio "
+                  f"at t={time.perf_counter()-t0:.2f}s", flush=True)
+    print(f"wrote {base}.wav ({n/data_config['sampling_rate']:.2f}s)")
+    return base
+
+
 def run_inference(config, args):
     """CLI entry (reference:inference.py:93-132 contract)."""
     data_config = dict(config["data_config"])
@@ -77,6 +113,10 @@ def run_inference(config, args):
     dataset = Data(data_config["training_files"], **data_kwargs(data_config))
     text_ids = dataset.get_text(args.text)
     speaker_id = dataset.get_speaker_id(args.id)
+
+    if getattr(args, "stream", False):
+        return _run_streaming(config, args, params, static_cfg, text_ids,
+                              int(speaker_id), data_config)
 
     mel, attns, n_valid = synthesize(
         params, static_cfg, text_ids, int(speaker_id),
