@@ -138,11 +138,16 @@ class StreamingMelSynthesizer:
                     if not fired[b] and hit[:, b].any():
                         fired[b] = True
                         n_valid[b] = c * C + int(hit[:, b].argmax()) + 1
-            newly_all_fired = self._has_gate and fired.all()
-            if newly_all_fired:
+            if self._has_gate and fired.all():
                 done_at = int(n_valid.max())
+                # trim this chunk to the utterance end: frames past the
+                # last gate hit must never reach the vocoder — streamed
+                # audio cannot be retracted (offline callers cut at
+                # n_valid after the fact; a stream has no "after")
+                n_real = min(n_real, done_at - c * C)
 
-            yield jnp.transpose(mel_c[:n_real], (1, 2, 0))
+            if n_real > 0:
+                yield jnp.transpose(mel_c[:n_real], (1, 2, 0))
             c += 1
             if done_at is not None and c * C >= done_at:
                 break
