@@ -71,6 +71,10 @@ class StreamingMelSynthesizer:
 
         flow = params["flows"][0]
         self._has_gate = "gate_layer" in flow
+        # sample latents in the params' dtype (bf16 serving engines would
+        # otherwise promote every op back to fp32)
+        from flowtron_tpu.utils.weights import resolve_weight
+        self._dtype = resolve_weight(flow["conv"]["w"]).dtype
 
         def encode(p, sids, text, key_mask):
             return _encode_text(p, config, sids, text, key_mask)
@@ -126,7 +130,8 @@ class StreamingMelSynthesizer:
                 n_real = min(C, max_frames - c * C)
             else:
                 z_c = sigma * jax.random.normal(
-                    jax.random.fold_in(key, c), (C, B, n_mel))
+                    jax.random.fold_in(key, c), (C, B, n_mel),
+                    self._dtype)
                 n_real = min(C, max_frames - c * C)
             mel_c, _attn, gates_c, carry = self._chunk(
                 self.params, z_c, enc, key_mask, carry)

@@ -35,7 +35,7 @@ class SynthesisEngine:
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
                  n_frames=400, int8=False, quantize="", fused=False,
-                 mesh_shape=None):
+                 mesh_shape=None, bf16=False):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -59,6 +59,14 @@ class SynthesisEngine:
                 quantize_flows_for_inference
             self.params = quantize_flows_for_inference(self.params,
                                                        mode=qmode)
+        elif bf16:
+            # TPU serving dtype: ~+30% over fp32 (mel MAE ~1e-3 scale);
+            # quantized modes already handle their own dtypes
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.params)
+        self._bf16 = bool(bf16)
 
         from flowtron_tpu.data.dataset import data_kwargs
         self.frontend = Data(data_config["training_files"],
@@ -68,6 +76,12 @@ class SynthesisEngine:
         if waveglow_path:
             from flowtron_tpu.vocoder import load_waveglow
             self.wg = load_waveglow(waveglow_path)
+            if bf16:
+                wgp, wgc = self.wg
+                self.wg = (jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x, wgp), wgc)
 
         def synth(params, residual, sids, text, in_lens):
             return flowtron_infer(params, self.static_cfg, residual, sids,
@@ -107,7 +121,9 @@ class SynthesisEngine:
                                         gate_threshold=0.5,
                                         max_frames=n_frames),
                 StreamingVocoder(wg_params, wg_cfg,
-                                 jax.random.PRNGKey(0), sigma=0.8))
+                                 jax.random.PRNGKey(0), sigma=0.8,
+                                 dtype=jnp.bfloat16 if bf16
+                                 else jnp.float32))
 
         self._queue = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -228,10 +244,13 @@ class SynthesisEngine:
             text_pad[b], in_lens[b] = text_pad[0], in_lens[0]
             sids[b], residual[b] = sids[0], residual[0]
 
+        res = jnp.asarray(residual)
+        if self._bf16:
+            res = res.astype(jnp.bfloat16)
         mel, attns, n_valid = self._synth(
-            self.params, jnp.asarray(residual), jnp.asarray(sids),
+            self.params, res, jnp.asarray(sids),
             jnp.asarray(text_pad), jnp.asarray(in_lens))
-        mel = np.asarray(mel)
+        mel = np.asarray(mel, np.float32)
         n_valid = np.asarray(n_valid)
 
         for b, (text, sid, sigma, seed, slot, done) in enumerate(batch):
@@ -245,9 +264,13 @@ class SynthesisEngine:
         if self.wg is not None:
             from flowtron_tpu.vocoder import waveglow_infer
             wg_params, wg_cfg = self.wg
-            return np.asarray(waveglow_infer(
-                wg_params, wg_cfg, self.jnp.asarray(mel[None]),
-                sigma=0.8))[0]
+            jnp = self.jnp
+            m = jnp.asarray(mel[None])
+            if self._bf16:
+                m = m.astype(jnp.bfloat16)
+            return np.asarray(waveglow_infer(wg_params, wg_cfg, m,
+                                             sigma=0.8),
+                              dtype=np.float32)[0]
         from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
         return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
 
@@ -379,6 +402,9 @@ def main(argv=None):
                         help="multi-chip serving mesh 'data,model', e.g. "
                              "'2,4': weights tensor-parallel over model, "
                              "requests sharded over data")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 weights/activations (the TPU "
+                             "serving dtype; ~+30%% over fp32)")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
@@ -393,7 +419,7 @@ def main(argv=None):
                              quantize=args.quantize, fused=args.fused,
                              mesh_shape=[int(x) for x in
                                          args.mesh.split(",")]
-                             if args.mesh else None)
+                             if args.mesh else None, bf16=args.bf16)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

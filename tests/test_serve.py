@@ -204,3 +204,56 @@ class TestMeshServing:
         wav, sr = eng.submit("Hello mesh.", 0)  # B=1 -> padded to 2
         assert sr == 22050 and len(wav) > 0
         assert np.isfinite(wav.astype(np.float64)).all()
+
+
+class TestBf16Serving:
+    def test_bf16_engine_synthesize_and_stream(self, tmp_path_factory):
+        """--bf16: weights/latents in bfloat16 through both the batch
+        path and the streaming path; finite audio out."""
+        import jax
+        import pickle
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.serve import SynthesisEngine
+
+        root = tmp_path_factory.mktemp("bf16_serve")
+        rng = np.random.default_rng(0)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=12,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
+                                  use_gate_layer=True, **small)
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+        wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
+                                 n_flows=4, n_group=8, n_early_every=2,
+                                 n_early_size=2, n_layers=3, n_channels=16)
+        with open(root / "wg.pkl", "wb") as f:
+            pickle.dump({"params": wgp, "config": wgc}, f)
+
+        from flowtron_tpu.config import load_config
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=1,
+                                      use_gate_layer=True)
+        eng = SynthesisEngine(config, ckpt, waveglow_path=str(root /
+                                                             "wg.pkl"),
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16,), n_frames=24, bf16=True)
+        wav, sr = eng.submit("Hello there.", 0)
+        assert len(wav) > 0 and np.isfinite(wav.astype(np.float64)).all()
+        chunks = list(eng.stream("Stream me.", 0, seed=2))
+        out = np.concatenate(chunks)
+        assert len(out) > 0 and np.isfinite(out.astype(np.float64)).all()
