@@ -38,16 +38,31 @@ def load_wav(full_path):
     return data.astype(np.float32), sampling_rate
 
 
+# data_config keys consumed by other layers, not Data.__init__
+_NON_DATA_KEYS = frozenset({
+    "training_files", "validation_files",     # filelist selection
+    "use_grain", "grain_workers",             # loader (train/loop.py)
+})
+
+
 def data_kwargs(data_config, exclude=("training_files", "validation_files")):
     """Filter a data_config dict down to Data.__init__'s parameters.
 
     The config section may carry loader-level keys (use_grain,
     grain_workers) that the frontends constructing a bare Data (serve,
-    inference, style transfer, mel dump) must not forward.
+    inference, style transfer, mel dump) must not forward. Anything
+    that is neither a Data parameter nor a known loader key is a typo
+    and raises (silently dropping `hop_lenght=512` would hand the user
+    wrong-resolution mels with no error).
     """
     import inspect
     valid = set(inspect.signature(Data.__init__).parameters)
     valid -= {"self", "filelist_path"}
+    unknown = set(data_config) - valid - _NON_DATA_KEYS
+    if unknown:
+        raise TypeError(
+            f"unknown data_config key(s): {sorted(unknown)} — not a "
+            f"Data parameter or loader option")
     return {k: v for k, v in data_config.items()
             if k in valid and k not in exclude}
 

@@ -18,17 +18,19 @@ Keeps the exact semantics the trainer already relies on:
 import numpy as np
 
 
-class _SourceAdapter:
-    """Data -> grain RandomAccessDataSource (len + getitem protocol)."""
+class _PermutedView:
+    """Index-mapped view: position i -> dataset[idx[i]] (the per-epoch
+    permutation/shard/wrap plan computed in numpy)."""
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, idx):
         self._dataset = dataset
+        self._idx = np.asarray(idx)
 
     def __len__(self):
-        return len(self._dataset)
+        return len(self._idx)
 
     def __getitem__(self, i):
-        return self._dataset[int(i)]
+        return self._dataset[int(self._idx[int(i)])]
 
 
 class GrainLoader:
@@ -57,8 +59,14 @@ class GrainLoader:
 
         n = len(dataset)
         # equal shard length on every process (multi-host lockstep):
-        # truncate to the minimum shard size
-        shard_len = n // num_shards if num_shards > 1 else n
+        # ceil + wrap-around padding, matching BatchIterator — truncating
+        # to the floor would silently drop tail samples (and produce ZERO
+        # validation batches when num_shards > n)
+        if num_shards > 1 and n < num_shards:
+            raise ValueError(
+                f"dataset has {n} samples but num_shards={num_shards}; "
+                f"every process needs at least one sample")
+        shard_len = -(-n // num_shards) if num_shards > 1 else n
         self._shard_len = shard_len
         self._len = (shard_len // batch_size if drop_last
                      else -(-shard_len // batch_size))
@@ -68,14 +76,20 @@ class GrainLoader:
 
     def _build(self, epoch):
         grain = self._grain
-        ds = grain.MapDataset.source(_SourceAdapter(self.dataset))
+        # permutation + sharding in numpy with BatchIterator's exact
+        # semantics: shuffle the GLOBAL index stream (same seeded
+        # permutation on every process), stride-shard it, pad to the
+        # common ceil length by wrapping the shard's own head
+        # (np.resize). grain's built-in shuffle/repeat can't express the
+        # wrap — .repeat() reshuffles its second epoch, which would leak
+        # other shards' samples into the padding.
+        idx = np.arange(len(self.dataset))
         if self.shuffle:
-            # shuffle the GLOBAL index stream (same permutation on every
-            # process), then shard — keeps multi-host epochs disjoint,
-            # like BatchIterator
-            ds = ds.shuffle(seed=self.seed + epoch)
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
         if self.num_shards > 1:
-            ds = ds[self.shard_index::self.num_shards][:self._shard_len]
+            idx = idx[self.shard_index::self.num_shards]
+            idx = np.resize(idx, self._shard_len)
+        ds = grain.MapDataset.source(_PermutedView(self.dataset, idx))
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last,
                       batch_fn=self.collate_fn)
         it = ds.to_iter_dataset(grain.ReadOptions(

@@ -199,7 +199,7 @@ class StreamingVocoder:
     """
 
     def __init__(self, wg_params, wg_config, key, sigma=0.8,
-                 context=24, lookahead=16, impl="tc",
+                 context=24, lookahead=16, impl="nch",
                  dtype=jnp.float32):
         self.params = wg_params
         self.config = wg_config
@@ -302,7 +302,7 @@ def pump_stream(mel_s, voc, key, speaker_ids, text, sigma=0.5,
 def stream_tts(params, config, wg_params, wg_config, key, speaker_ids,
                text, sigma=0.5, wg_sigma=0.8, chunk_frames=40,
                gate_threshold=0.5, max_frames=2000, in_lens=None,
-               context=24, lookahead=16, impl="tc"):
+               context=24, lookahead=16, impl="nch"):
     """Full streaming TTS: yields (B, n*HOP) float32 waveform chunks.
 
     Time-to-first-audio is one mel chunk + lookahead instead of the

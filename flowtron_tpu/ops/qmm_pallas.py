@@ -80,8 +80,15 @@ def quantized_matmul(x, q, s, out_dtype=None, interpret=False, a8=False):
     if N <= 1024 and N % 128 == 0:
         tn = N
     else:
-        tn = next(t for t in (512, 384, 256, 128)
-                  if N % t == 0)  # all flow dims are 128-multiples
+        tn = next((t for t in (512, 384, 256, 128) if N % t == 0), None)
+        if tn is None:
+            # non-128-multiple out dim (possible on non-flagship model
+            # dims): a bare StopIteration would surface as an opaque
+            # trace error — name the constraint instead
+            raise ValueError(
+                f"quantized_matmul needs the output dim to be a multiple "
+                f"of 128 (got {N}); use the XLA dequant path (mode 'w8') "
+                f"for this model configuration")
     grid = (N // tn,)
 
     out = pl.pallas_call(

@@ -134,15 +134,18 @@ class SynthesisEngine:
         return self._streamers is not None
 
     def stream(self, text, speaker_id=0, sigma=0.5, seed=1234):
-        """Generator of mono int16 PCM chunks (time-to-first-audio is one
+        """Mono int16 PCM chunk generator (time-to-first-audio is one
         mel chunk + vocoder lookahead). Requires n_flows == 1 and a
         loaded vocoder; amplitude uses a fixed clip scale (a streaming
-        response cannot be normalized to its own global peak)."""
+        response cannot be normalized to its own global peak).
+
+        Validation runs eagerly (not at first next()) so HTTP callers
+        can still return 4xx/5xx before committing to a 200 + chunked
+        response."""
         if self._streamers is None:
             raise RuntimeError(
                 "streaming requires a forward-only model (n_flows=1) "
                 "and a neural vocoder (-w)")
-        from flowtron_tpu.infer.streaming import pump_stream
         ids = self.frontend.get_text(text)
         if len(ids) == 0:
             raise ValueError("empty text after cleaning")
@@ -151,7 +154,10 @@ class SynthesisEngine:
         n = min(len(ids), Tk)
         text_pad[0, :n] = np.asarray(ids)[:n]
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
+        return self._stream_gen(text_pad, n, sid, sigma, seed)
 
+    def _stream_gen(self, text_pad, n, sid, sigma, seed):
+        from flowtron_tpu.infer.streaming import pump_stream
         jnp = self.jnp
         with self._stream_lock:
             mel_s, voc = self._streamers

@@ -80,19 +80,29 @@ def save_orbax(dirpath, params, opt_state, iteration, learning_rate,
     }
 
     ckptr = _checkpointer(use_async)
-    # fresh save replaces any previous checkpoint at this path
-    if os.path.exists(dirpath):
-        import shutil
-        shutil.rmtree(dirpath)
-    os.makedirs(dirpath)
-    ckptr.save(os.path.join(dirpath, "state"),
+    # write into a sibling tmp dir and only swap it in at finalize: the
+    # previous checkpoint at this path must survive until the new one is
+    # COMPLETE (deleting it up front + an async tensorstore write would
+    # lose both on a crash mid-save)
+    import shutil
+    workdir = dirpath + ".ockpt_tmp"
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
+    ckptr.save(os.path.join(workdir, "state"),
                args=ocp.args.StandardSave(state))
 
     def finalize():
-        tmp = os.path.join(dirpath, "meta.json.tmp")
-        with open(tmp, "w") as f:
+        with open(os.path.join(workdir, "meta.json"), "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(dirpath, "meta.json"))
+        old = dirpath + ".ockpt_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(dirpath):
+            os.replace(dirpath, old)
+        os.replace(workdir, dirpath)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     if not use_async:
         if hasattr(ckptr, "wait_until_finished"):  # sync save blocks

@@ -6,13 +6,15 @@ blob; fine at 40M params, not the scalable TPU-native answer (SURVEY §5:
 "periodic async checkpoint (orbax-style)"). This module writes a
 directory instead:
 
-  <dir>/index.json          array metadata + shard index maps + scalars
-  <dir>/<name>.sNN.npy      one file per unique shard of each array
+  <dir>/index.json              array metadata + shard index maps + scalars
+  <dir>/<name>.<region>.npy     one file per distinct shard region
 
-- save: each unique addressable shard is written exactly once. On a
-  multi-host deployment every process writes only its own shards (files
-  are keyed by shard index so writers never collide); replicated arrays
-  are written by the process holding shard index 0.
+- save: the index covers the GLOBAL sharding; each process writes only
+  the regions whose replica 0 it holds (region-keyed filenames, so
+  multi-host writers never collide; shared filesystem assumed), process
+  0 alone writes the index and swaps the directory in, with
+  sync_global_devices barriers between phases. Restore verifies every
+  element of every requested region is covered by a saved shard.
 - restore: sharding-aware and lazy — when the target pytree leaf is a
   sharded jax.Array, jax.make_array_from_callback assembles each device
   shard from only the overlapping saved slices (memory-mapped reads), so
@@ -62,15 +64,35 @@ def _index_json(index, shape):
     return out
 
 
-def _unique_shards(x):
-    """[(json_index, numpy_data)] with replicated copies deduplicated."""
-    seen = {}
-    for s in x.addressable_shards:
-        idx = _index_json(s.index, x.shape)
-        key = tuple(map(tuple, idx))
+def _region_tag(idx):
+    """[[start, stop], ...] -> filename-safe region key ("0-512.0-4096")."""
+    return ".".join(f"{a}-{b}" for a, b in idx) or "scalar"
+
+
+def _global_regions(x):
+    """All distinct shard regions of a jax.Array across EVERY device
+    (not just addressable ones) — the full index a restore needs."""
+    seen, out = set(), []
+    for idx in x.sharding.devices_indices_map(x.shape).values():
+        j = _index_json(idx, x.shape)
+        key = tuple(map(tuple, j))
         if key not in seen:
-            seen[key] = (idx, np.asarray(s.data))
-    return list(seen.values())
+            seen.add(key)
+            out.append(j)
+    return out
+
+
+def _owned_shards(x):
+    """[(json_index, numpy_data)] for the shards THIS process writes:
+    exactly the addressable shards with replica_id == 0, so on a
+    multi-host run every distinct region is written by one process and
+    writers never collide (single-process: replica 0 of every region is
+    local, so this is simply the dedup)."""
+    out = []
+    for s in x.addressable_shards:
+        if s.replica_id == 0:
+            out.append((_index_json(s.index, x.shape), np.asarray(s.data)))
+    return out
 
 
 def _flat_leaves(params, opt_state):
@@ -91,6 +113,7 @@ def snapshot(params, opt_state, iteration, learning_rate, config=None):
     """Device -> host snapshot (synchronous, cheap): returns a write plan
     {files: {relpath: np.ndarray}, index: dict} consumed by write_plan.
     Split out so AsyncSaver can run the disk write off-thread."""
+    pidx = jax.process_index()
     files = {}
     arrays = {}
     for name, leaf in _flat_leaves(params, opt_state):
@@ -101,15 +124,22 @@ def snapshot(params, opt_state, iteration, learning_rate, config=None):
         meta = {"shape": list(np.shape(leaf)), "dtype": str(leaf.dtype),
                 "shards": []}
         if isinstance(leaf, jax.Array) and not leaf.is_fully_replicated:
-            shards = _unique_shards(leaf)
+            # index covers the GLOBAL sharding; this process writes only
+            # the regions whose replica 0 it holds (files are keyed by
+            # region, so multi-host writers never collide)
+            regions = _global_regions(leaf)
+            to_write = _owned_shards(leaf)
         else:
             full = np.asarray(leaf)
-            shards = [(_index_json((slice(None),) * full.ndim, full.shape),
-                       full)]
-        for i, (idx, data) in enumerate(shards):
-            rel = f"{safe}.s{i:02d}.npy"
-            files[rel] = _to_disk(np.ascontiguousarray(data))
+            regions = [_index_json((slice(None),) * full.ndim, full.shape)]
+            # replicated leaves are written by process 0 only
+            to_write = [(regions[0], full)] if pidx == 0 else []
+        for idx in regions:
+            rel = f"{safe}.{_region_tag(idx)}.npy"
             meta["shards"].append({"file": rel, "index": idx})
+        for idx, data in to_write:
+            rel = f"{safe}.{_region_tag(idx)}.npy"
+            files[rel] = _to_disk(np.ascontiguousarray(data))
         arrays[name] = meta
 
     index = {
@@ -123,18 +153,39 @@ def snapshot(params, opt_state, iteration, learning_rate, config=None):
 
 
 def write_plan(dirpath, plan):
-    """Write a snapshot plan to <dirpath> atomically (tmp dir + rename)."""
+    """Write a snapshot plan to <dirpath> atomically (tmp dir + rename).
+
+    Multi-host protocol (shared filesystem assumed): process 0 creates
+    the tmp dir and, after a barrier, every process writes its own
+    region-keyed shard files (disjoint by construction — see
+    _owned_shards); a second barrier, then process 0 alone writes the
+    global index and performs the swap. Single-process runs take the
+    same path with no barriers.
+    """
+    multi = jax.process_count() > 1
+    pidx = jax.process_index()
+
+    def barrier(tag):
+        if multi:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"sharded_ckpt.{tag}")
+
     tmp = dirpath.rstrip("/") + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    if pidx == 0:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+    barrier("mkdir")
     for rel, data in plan["files"].items():
         np.save(os.path.join(tmp, rel), data)
-    with open(os.path.join(tmp, "index.json"), "w") as f:
-        json.dump(plan["index"], f)
-    if os.path.exists(dirpath):
-        shutil.rmtree(dirpath)
-    os.replace(tmp, dirpath)
+    barrier("shards")
+    if pidx == 0:
+        with open(os.path.join(tmp, "index.json"), "w") as f:
+            json.dump(plan["index"], f)
+        if os.path.exists(dirpath):
+            shutil.rmtree(dirpath)
+        os.replace(tmp, dirpath)
+    barrier("swap")
 
 
 def save_sharded(dirpath, params, opt_state, iteration, learning_rate,
@@ -155,6 +206,9 @@ def _read_region(dirpath, meta, region):
         data = np.load(os.path.join(dirpath, meta["shards"][0]["file"]))
         return _from_disk(np.asarray(data), meta["dtype"]).reshape(())
     out = np.empty([b - a for a, b in region], dtype)
+    covered = np.zeros(out.shape, bool)  # every element must be filled:
+    # a gap means the checkpoint is missing shards (e.g. a partial
+    # multi-host save) and np.empty garbage must never restore silently
     for sh in meta["shards"]:
         src = sh["index"]
         inter = [[max(a, c), min(b, d)] for (a, b), (c, d)
@@ -167,6 +221,12 @@ def _read_region(dirpath, meta, region):
         dst_sl = tuple(slice(a - c, b - c)
                        for (a, b), (c, d) in zip(inter, region))
         out[dst_sl] = _from_disk(np.asarray(mm[src_sl]), meta["dtype"])
+        covered[dst_sl] = True
+    if not covered.all():
+        raise ValueError(
+            f"checkpoint shards do not cover region {region}: "
+            f"{int((~covered).sum())} of {covered.size} elements missing "
+            f"(incomplete or corrupted sharded checkpoint)")
     return out
 
 

@@ -313,7 +313,7 @@ def _unsqueeze_audio(audio_g):
 # forward (training: audio -> z) and inverse (inference: z -> audio)
 # ---------------------------------------------------------------------------
 
-def waveglow_forward(params, config, spect, audio, impl="tc"):
+def waveglow_forward(params, config, spect, audio, impl="nch"):
     """audio (B, T), spect (B, 80, T_mel) -> (z, log_s_list, log_det_list)."""
     n_group = config["n_group"]
     n_flows = config["n_flows"]
@@ -357,7 +357,7 @@ def waveglow_n_remaining(config):
     return n_remaining
 
 
-def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="tc"):
+def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="nch"):
     """spect (B, 80, T_mel) -> audio (B, T_audio). Exact inverse pass."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -379,7 +379,7 @@ def waveglow_infer(params, config, spect, sigma=1.0, key=None, impl="tc"):
                             impl=impl)
 
 
-def waveglow_infer_z(params, config, spect, z_main, z_early, impl="tc"):
+def waveglow_infer_z(params, config, spect, z_main, z_early, impl="nch"):
     """Inverse pass with externally supplied latents.
 
     z_main: (B, n_remaining, Tg) innermost latents (sigma already

@@ -163,3 +163,28 @@ class TestShardedSemantics:
         restored, _, it, lr = load_checkpoint(path, fresh, fresh_opt)
         assert it == 3 and lr == 2e-4
         _assert_trees_equal(restored, params)
+
+
+class TestMissingShardDetection:
+    def test_incomplete_checkpoint_raises(self, tmp_path):
+        """A checkpoint whose index lists a shard region with no backing
+        coverage must raise, never restore np.empty garbage."""
+        import json
+        from flowtron_tpu.train.sharded_ckpt import (
+            save_sharded, restore_sharded, read_index)
+
+        params = {"w": jnp.arange(32, dtype=jnp.float32).reshape(4, 8)}
+        d = str(tmp_path / "ck")
+        save_sharded(d, params, None, 3, 1e-3)
+
+        # drop the saved region from the index and replace it with a
+        # half-size one (simulating a partial multi-host save)
+        index = read_index(d)
+        meta = index["arrays"]["w"]
+        sh = meta["shards"][0]
+        sh["index"] = [[0, 4], [0, 4]]  # covers only half the columns
+        with open(os.path.join(d, "index.json"), "w") as f:
+            json.dump(index, f)
+
+        with pytest.raises(ValueError, match="do not cover"):
+            restore_sharded(d, params)
