@@ -1,0 +1,117 @@
+"""Serving-engine load test on the real TPU (flagship dims).
+
+Starts a SynthesisEngine in-process (random flagship weights + flagship
+WaveGlow, bf16), fires concurrent requests, and reports throughput and
+latency percentiles — the numbers a deployment actually sees, including
+micro-batching and the HTTP-layer frontend work (text cleaning) but not
+network. The dev tunnel adds ~27 ms per device dispatch.
+
+Usage: python scripts/bench_serve.py [n_requests] [concurrency]
+"""
+
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import pickle
+    import tempfile
+    from scipy.io import wavfile
+    from flowtron_tpu.models import flowtron_init
+    from flowtron_tpu.train.checkpoints import save_checkpoint
+    from flowtron_tpu.train.radam import radam
+    from flowtron_tpu.vocoder import waveglow_init
+    from flowtron_tpu.config import load_config
+    from flowtron_tpu.serve import SynthesisEngine
+
+    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    root = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    wavfile.write(os.path.join(root, "u.wav"), 22050,
+                  (rng.standard_normal(4096) * 2000).astype(np.int16))
+    with open(os.path.join(root, "fl.txt"), "w") as f:
+        f.write(f"{root}/u.wav|hello|0\n")
+
+    dims = dict(n_speakers=1, n_speaker_dim=128, n_text=185, n_text_dim=512,
+                n_mel_channels=80, n_hidden=1024, n_attn_channels=640,
+                n_lstm_layers=2, mel_encoder_n_hidden=512)
+    params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                              use_gate_layer=True, **dims)
+    ckpt = os.path.join(root, "model")
+    save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+    wgp, wgc = waveglow_init(jax.random.PRNGKey(1))
+    wg_path = os.path.join(root, "wg.pkl")
+    with open(wg_path, "wb") as f:
+        pickle.dump({"params": wgp, "config": wgc}, f)
+
+    config = load_config(overrides=[
+        f"data_config.training_files={root}/fl.txt",
+        f"data_config.validation_files={root}/fl.txt",
+        "data_config.use_attn_prior=False",
+    ])
+    config["model_config"] = dict(dims, n_flows=2, use_gate_layer=True)
+
+    engine = SynthesisEngine(config, ckpt, waveglow_path=wg_path,
+                             max_batch=8, batch_timeout_ms=30,
+                             text_buckets=(64,), n_frames=400, bf16=True)
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "Speech synthesis on tensor processing units is remarkably fast.",
+        "A different sentence keeps the text frontend honest every time.",
+        "Numbers like 1234 and dates like March 3rd get normalized too.",
+    ]
+
+    # warm every program (compile)
+    engine.submit(texts[0], 0, seed=0)
+
+    lat = []
+    lock = threading.Lock()
+    it = iter(range(n_requests))
+
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            t0 = time.perf_counter()
+            wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append((dt, len(wav) / 22050.0))
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    ls = sorted(d for d, _ in lat)
+    audio_s = sum(a for _, a in lat)
+    print(f"{n_requests} reqs @ concurrency {concurrency}: "
+          f"{n_requests/wall:.2f} req/s, {audio_s/wall:.1f}x realtime "
+          f"aggregate ({audio_s:.1f}s audio in {wall:.1f}s)")
+    print(f"latency p50 {ls[len(ls)//2]*1e3:.0f} ms, "
+          f"p90 {ls[int(len(ls)*0.9)]*1e3:.0f} ms, "
+          f"p99 {ls[min(len(ls)-1, int(len(ls)*0.99))]*1e3:.0f} ms, "
+          f"max {ls[-1]*1e3:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()
