@@ -229,9 +229,14 @@ class SynthesisEngine:
         batch = keep
 
         Tk = self._bucket(max(len(i) for i in ids_list))
-        # batch rows must divide the mesh's data axis; pad with copies
+        # bucket the batch dim to a power of two (bounded set of
+        # compiled programs under bursty load) and to a multiple of the
+        # mesh's data axis; padded rows duplicate row 0
+        B = 1
+        while B < len(batch):
+            B *= 2
         m = self._batch_mult
-        B = ((len(batch) + m - 1) // m) * m
+        B = ((B + m - 1) // m) * m
         text_pad = np.zeros((B, Tk), np.int64)
         in_lens = np.zeros((B,), np.int64)
         sids = np.zeros((B,), np.int64)
@@ -271,12 +276,21 @@ class SynthesisEngine:
             from flowtron_tpu.vocoder import waveglow_infer
             wg_params, wg_cfg = self.wg
             jnp = self.jnp
+            # bucket the mel length (pad with log-clip-floor "silence")
+            # so the vocoder compiles a handful of programs instead of
+            # one per distinct gate-determined utterance length
+            T = mel.shape[1]
+            Tb = -(-T // 64) * 64
+            if Tb != T:
+                mel = np.pad(mel, ((0, 0), (0, Tb - T)),
+                             constant_values=np.log(1e-5))
             m = jnp.asarray(mel[None])
             if self._bf16:
                 m = m.astype(jnp.bfloat16)
-            return np.asarray(waveglow_infer(wg_params, wg_cfg, m,
-                                             sigma=0.8),
-                              dtype=np.float32)[0]
+            audio = np.asarray(waveglow_infer(wg_params, wg_cfg, m,
+                                              sigma=0.8),
+                               dtype=np.float32)[0]
+            return audio[:T * 256]
         from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
         return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
 
