@@ -73,8 +73,9 @@ class SynthesisEngine:
                              **data_kwargs(data_config))
 
         self.wg = None
+        self._vocode_batch = None
         if waveglow_path:
-            from flowtron_tpu.vocoder import load_waveglow
+            from flowtron_tpu.vocoder import load_waveglow, waveglow_infer
             self.wg = load_waveglow(waveglow_path)
             if bf16:
                 wgp, wgc = self.wg
@@ -82,6 +83,13 @@ class SynthesisEngine:
                     lambda x: x.astype(jnp.bfloat16)
                     if hasattr(x, "dtype") and x.dtype == jnp.float32
                     else x, wgp), wgc)
+            _wg_cfg = self.wg[1]
+            # jitted batched vocode: WITHOUT jit this is hundreds of
+            # eager dispatches per request (~seconds each over a remote
+            # device); batching also amortizes one dispatch across the
+            # whole micro-batch
+            self._vocode_batch = jax.jit(
+                lambda p, m: waveglow_infer(p, _wg_cfg, m, sigma=0.8))
 
         def synth(params, residual, sids, text, in_lens):
             return flowtron_infer(params, self.static_cfg, residual, sids,
@@ -264,33 +272,36 @@ class SynthesisEngine:
         mel = np.asarray(mel, np.float32)
         n_valid = np.asarray(n_valid)
 
+        audio_all = None
+        if self._vocode_batch is not None:
+            # one batched vocoder dispatch for the whole micro-batch:
+            # silence-pad every mel past its n_valid to the common
+            # 64-frame bucket, trim per request after
+            Tb = -(-int(max(1, n_valid[:len(batch)].max())) // 64) * 64
+            mel_b = np.full((B, mel.shape[1], Tb), np.log(1e-5),
+                            np.float32)
+            for b in range(len(batch)):
+                n = max(1, int(n_valid[b]))
+                mel_b[b, :, :n] = mel[b, :, :n]
+            m = jnp.asarray(mel_b)
+            if self._bf16:
+                m = m.astype(jnp.bfloat16)
+            audio_all = np.asarray(self._vocode_batch(self.wg[0], m),
+                                   dtype=np.float32)
+
         for b, (text, sid, sigma, seed, slot, done) in enumerate(batch):
-            m = mel[b, :, :max(1, int(n_valid[b]))]
-            audio = self._vocode(m)
+            n = max(1, int(n_valid[b]))
+            if audio_all is not None:
+                audio = audio_all[b, :n * 256]
+            else:
+                audio = self._vocode(mel[b, :, :n])
             audio = audio / max(1e-8, np.abs(audio).max())
             slot["wav"] = (audio * 32767).astype(np.int16)
             done.set()
 
     def _vocode(self, mel):
-        if self.wg is not None:
-            from flowtron_tpu.vocoder import waveglow_infer
-            wg_params, wg_cfg = self.wg
-            jnp = self.jnp
-            # bucket the mel length (pad with log-clip-floor "silence")
-            # so the vocoder compiles a handful of programs instead of
-            # one per distinct gate-determined utterance length
-            T = mel.shape[1]
-            Tb = -(-T // 64) * 64
-            if Tb != T:
-                mel = np.pad(mel, ((0, 0), (0, Tb - T)),
-                             constant_values=np.log(1e-5))
-            m = jnp.asarray(mel[None])
-            if self._bf16:
-                m = m.astype(jnp.bfloat16)
-            audio = np.asarray(waveglow_infer(wg_params, wg_cfg, m,
-                                              sigma=0.8),
-                               dtype=np.float32)[0]
-            return audio[:T * 256]
+        """Griffin-Lim fallback for engines without a neural vocoder
+        (the vocoder path is the jitted batched _vocode_batch)."""
         from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
         return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
 
