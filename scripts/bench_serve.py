@@ -50,6 +50,11 @@ def main():
                 n_lstm_layers=2, mel_encoder_n_hidden=512)
     params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                               use_gate_layer=True, **dims)
+    # random weights fire the gate at frame ~1 (sigmoid(0) vs 0.5);
+    # bias it hard negative so every request carries the full n_frames
+    # of work — the worst case a deployment pays
+    import jax.numpy as jnp
+    params["flows"][-1]["gate_layer"]["b"] = jnp.asarray([-50.0])
     ckpt = os.path.join(root, "model")
     save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
     wgp, wgc = waveglow_init(jax.random.PRNGKey(1))
@@ -75,42 +80,44 @@ def main():
         "Numbers like 1234 and dates like March 3rd get normalized too.",
     ]
 
-    # warm every program (compile)
-    engine.submit(texts[0], 0, seed=0)
+    def run_pass(label):
+        lat = []
+        lock = threading.Lock()
+        it = iter(range(n_requests))
 
-    lat = []
-    lock = threading.Lock()
-    it = iter(range(n_requests))
+        def worker():
+            while True:
+                with lock:
+                    i = next(it, None)
+                if i is None:
+                    return
+                t0 = time.perf_counter()
+                wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append((dt, len(wav) / 22050.0))
 
-    def worker():
-        while True:
-            with lock:
-                i = next(it, None)
-            if i is None:
-                return
-            t0 = time.perf_counter()
-            wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
-            dt = time.perf_counter() - t0
-            with lock:
-                lat.append((dt, len(wav) / 22050.0))
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker)
+                   for _ in range(concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        ls = sorted(d for d, _ in lat)
+        audio_s = sum(a for _, a in lat)
+        print(f"[{label}] {n_requests} reqs @ concurrency {concurrency}: "
+              f"{n_requests/wall:.2f} req/s, {audio_s/wall:.1f}x realtime "
+              f"aggregate ({audio_s:.1f}s audio in {wall:.1f}s)")
+        print(f"[{label}] latency p50 {ls[len(ls)//2]*1e3:.0f} ms, "
+              f"p90 {ls[int(len(ls)*0.9)]*1e3:.0f} ms, "
+              f"p99 {ls[min(len(ls)-1, int(len(ls)*0.99))]*1e3:.0f} ms, "
+              f"max {ls[-1]*1e3:.0f} ms", flush=True)
 
-    ls = sorted(d for d, _ in lat)
-    audio_s = sum(a for _, a in lat)
-    print(f"{n_requests} reqs @ concurrency {concurrency}: "
-          f"{n_requests/wall:.2f} req/s, {audio_s/wall:.1f}x realtime "
-          f"aggregate ({audio_s:.1f}s audio in {wall:.1f}s)")
-    print(f"latency p50 {ls[len(ls)//2]*1e3:.0f} ms, "
-          f"p90 {ls[int(len(ls)*0.9)]*1e3:.0f} ms, "
-          f"p99 {ls[min(len(ls)-1, int(len(ls)*0.99))]*1e3:.0f} ms, "
-          f"max {ls[-1]*1e3:.0f} ms")
+    run_pass("cold(compiles)")
+    run_pass("warm")
 
 
 if __name__ == "__main__":
