@@ -96,6 +96,11 @@ class SynthesisEngine:
                                   text, gate_threshold=0.5, in_lens=in_lens,
                                   fused="early" if fused else False)
 
+        _zshape = (self.static_cfg["n_mel_channels"], n_frames)
+        self._sample_z = jax.jit(lambda seeds, sigmas: jax.vmap(
+            lambda s, sg: sg * jax.random.normal(
+                jax.random.PRNGKey(s), _zshape))(seeds, sigmas))
+
         self._batch_mult = 1
         if mesh_shape:
             # multi-chip serving: weights tensor-parallel over 'model',
@@ -248,22 +253,23 @@ class SynthesisEngine:
         text_pad = np.zeros((B, Tk), np.int64)
         in_lens = np.zeros((B,), np.int64)
         sids = np.zeros((B,), np.int64)
-        residual = np.zeros((B, self.static_cfg["n_mel_channels"],
-                             self.n_frames), np.float32)
+        seeds = np.zeros((B,), np.int64)
+        sigmas = np.full((B,), 0.5, np.float32)
         for b, (ids, (_, sid, sigma, seed, _, _)) in enumerate(
                 zip(ids_list, batch)):
             n = min(len(ids), Tk)
             text_pad[b, :n] = ids[:n]
             in_lens[b] = n
             sids[b] = int(self.frontend.speaker_ids.get(int(sid), 0))
-            rng = self.jax.random.PRNGKey(int(seed))
-            residual[b] = np.asarray(self.jax.random.normal(
-                rng, residual.shape[1:])) * float(sigma)
+            seeds[b] = int(seed)
+            sigmas[b] = float(sigma)
         for b in range(len(batch), B):  # mesh padding: duplicate row 0
             text_pad[b], in_lens[b] = text_pad[0], in_lens[0]
-            sids[b], residual[b] = sids[0], residual[0]
+            sids[b], seeds[b], sigmas[b] = sids[0], seeds[0], sigmas[0]
 
-        res = jnp.asarray(residual)
+        # whole batch's latents in ONE device dispatch (a per-request
+        # PRNGKey + normal pair costs a device round-trip each)
+        res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
         if self._bf16:
             res = res.astype(jnp.bfloat16)
         mel, attns, n_valid = self._synth(
