@@ -34,6 +34,24 @@ def maybe_initialize_distributed(dist_config):
     return False
 
 
+def coord_barrier(tag, timeout_s=600):
+    """Cross-process barrier over the coordination service (an RPC, NOT
+    a device collective) — safe to call from background threads such as
+    the async checkpoint writer, where a device-collective barrier
+    (multihost_utils.sync_global_devices) could interleave with
+    concurrent train-step collectives and deadlock. No-op when
+    single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(f"flowtron_{tag}", timeout_s * 1000)
+    else:  # pragma: no cover - no coordination service: last resort
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"flowtron_{tag}")
+
+
 def make_mesh(mesh_shape=(-1,), axis_names=("data",), devices=None,
               dcn_mesh_shape=None):
     """Create a Mesh; a -1 dim absorbs all remaining devices.

@@ -97,6 +97,10 @@ class SynthesisEngine:
                                   fused="early" if fused else False)
 
         _zshape = (self.static_cfg["n_mel_channels"], n_frames)
+        # NOTE: the int64->int32 wrap of large seeds is byte-identical
+        # to the per-request PRNGKey(int(seed)) this replaced — PRNGKey
+        # keeps only the low 32 bits under default x64-disabled JAX, and
+        # two's-complement preserves that bit pattern (verified).
         self._sample_z = jax.jit(lambda seeds, sigmas: jax.vmap(
             lambda s, sg: sg * jax.random.normal(
                 jax.random.PRNGKey(s), _zshape))(seeds, sigmas))

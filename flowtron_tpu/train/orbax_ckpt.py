@@ -47,9 +47,28 @@ def _checkpointer(use_async=False):
     return ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
 
-def is_orbax_checkpoint(path):
+def _complete(path):
     return os.path.isdir(path) and \
         os.path.exists(os.path.join(path, "meta.json"))
+
+
+def _heal_interrupted_swap(path):
+    """A crash between finalize's two os.replace calls leaves the new
+    checkpoint at <path>.ockpt_tmp (complete, meta.json written first)
+    and/or the previous one at <path>.ockpt_old, with nothing at <path>.
+    Complete the swap so a resume never silently restarts from scratch
+    while a finished checkpoint sits on disk."""
+    if _complete(path):
+        return
+    for cand in (path + ".ockpt_tmp", path + ".ockpt_old"):
+        if _complete(cand):
+            os.replace(cand, path)
+            return
+
+
+def is_orbax_checkpoint(path):
+    _heal_interrupted_swap(path)
+    return _complete(path)
 
 
 def save_orbax(dirpath, params, opt_state, iteration, learning_rate,
@@ -79,20 +98,34 @@ def save_orbax(dirpath, params, opt_state, iteration, learning_rate,
         "n_opt_leaves": len(arrays),
     }
 
+    from flowtron_tpu.parallel.mesh import coord_barrier
+
     ckptr = _checkpointer(use_async)
     # write into a sibling tmp dir and only swap it in at finalize: the
     # previous checkpoint at this path must survive until the new one is
     # COMPLETE (deleting it up front + an async tensorstore write would
-    # lose both on a crash mid-save)
+    # lose both on a crash mid-save). Multi-host: process 0 prepares the
+    # tmp dir and later performs the swap; orbax coordinates the array
+    # writes themselves across processes.
     import shutil
     workdir = dirpath + ".ockpt_tmp"
-    if os.path.exists(workdir):
-        shutil.rmtree(workdir)
-    os.makedirs(workdir)
+    if jax.process_index() == 0:
+        if os.path.exists(workdir):
+            shutil.rmtree(workdir)
+        os.makedirs(workdir)
+    coord_barrier("orbax_mkdir")
     ckptr.save(os.path.join(workdir, "state"),
                args=ocp.args.StandardSave(state))
 
     def finalize():
+        # runs on the async waiter thread; filesystem swap is process-0
+        # only (the races this avoids: concurrent rmtree/replace on a
+        # shared path). Crash between the two os.replace calls leaves no
+        # dir at dirpath — _heal_interrupted_swap on the restore side
+        # completes the swap from .ockpt_tmp / .ockpt_old.
+        if jax.process_index() != 0:
+            coord_barrier("orbax_swap")
+            return
         with open(os.path.join(workdir, "meta.json"), "w") as f:
             json.dump(meta, f)
         old = dirpath + ".ockpt_old"
@@ -103,6 +136,7 @@ def save_orbax(dirpath, params, opt_state, iteration, learning_rate,
         os.replace(workdir, dirpath)
         if os.path.exists(old):
             shutil.rmtree(old)
+        coord_barrier("orbax_swap")
 
     if not use_async:
         if hasattr(ckptr, "wait_until_finished"):  # sync save blocks

@@ -13,8 +13,9 @@ directory instead:
   the regions whose replica 0 it holds (region-keyed filenames, so
   multi-host writers never collide; shared filesystem assumed), process
   0 alone writes the index and swaps the directory in, with
-  sync_global_devices barriers between phases. Restore verifies every
-  element of every requested region is covered by a saved shard.
+  coordination-service barriers between phases (safe from the async
+  writer thread). Restore verifies every element of every requested
+  region is covered by a saved shard.
 - restore: sharding-aware and lazy — when the target pytree leaf is a
   sharded jax.Array, jax.make_array_from_callback assembles each device
   shard from only the overlapping saved slices (memory-mapped reads), so
@@ -130,10 +131,12 @@ def snapshot(params, opt_state, iteration, learning_rate, config=None):
             regions = _global_regions(leaf)
             to_write = _owned_shards(leaf)
         else:
-            full = np.asarray(leaf)
-            regions = [_index_json((slice(None),) * full.ndim, full.shape)]
-            # replicated leaves are written by process 0 only
-            to_write = [(regions[0], full)] if pidx == 0 else []
+            shape = np.shape(leaf)
+            regions = [_index_json((slice(None),) * len(shape), shape)]
+            # replicated leaves are written by process 0 only — and only
+            # process 0 pays the device->host transfer
+            to_write = [(regions[0], np.asarray(leaf))] if pidx == 0 \
+                else []
         for idx in regions:
             rel = f"{safe}.{_region_tag(idx)}.npy"
             meta["shards"].append({"file": rel, "index": idx})
@@ -162,13 +165,14 @@ def write_plan(dirpath, plan):
     global index and performs the swap. Single-process runs take the
     same path with no barriers.
     """
-    multi = jax.process_count() > 1
     pidx = jax.process_index()
 
     def barrier(tag):
-        if multi:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices(f"sharded_ckpt.{tag}")
+        # coordination-service barrier: write_plan runs on AsyncSaver's
+        # background thread, where a device-collective barrier could
+        # interleave with concurrent train-step collectives and deadlock
+        from flowtron_tpu.parallel.mesh import coord_barrier
+        coord_barrier(f"sharded_ckpt_{tag}")
 
     tmp = dirpath.rstrip("/") + ".tmp"
     if pidx == 0:

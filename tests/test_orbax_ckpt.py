@@ -133,3 +133,26 @@ class TestOrbaxBackend:
         ckptr.close()
         assert is_orbax_checkpoint(path)
         assert os.path.exists(os.path.join(path, "state"))
+
+
+class TestInterruptedSwap:
+    def test_heal_from_tmp(self, tmp_path):
+        """Crash between finalize's two renames: the complete new
+        checkpoint sits at .ockpt_tmp with nothing at the path; the
+        next is_orbax_checkpoint() must complete the swap."""
+        import os
+        import jax.numpy as jnp
+        from flowtron_tpu.train.orbax_ckpt import (
+            save_orbax, restore_orbax, is_orbax_checkpoint)
+
+        params = {"w": jnp.arange(6, dtype=jnp.float32)}
+        d = str(tmp_path / "ck")
+        save_orbax(d, params, None, 7, 1e-3)
+        # simulate the crash window: new checkpoint stranded at tmp
+        os.rename(d, d + ".ockpt_tmp")
+        assert not os.path.exists(d)
+
+        assert is_orbax_checkpoint(d)  # heals
+        out = restore_orbax(d, params)
+        assert out["iteration"] == 7
+        assert not os.path.exists(d + ".ockpt_tmp")
