@@ -84,12 +84,24 @@ class SynthesisEngine:
                     if hasattr(x, "dtype") and x.dtype == jnp.float32
                     else x, wgp), wgc)
             _wg_cfg = self.wg[1]
+
             # jitted batched vocode: WITHOUT jit this is hundreds of
             # eager dispatches per request (~seconds each over a remote
-            # device); batching also amortizes one dispatch across the
-            # whole micro-batch
-            self._vocode_batch = jax.jit(
-                lambda p, m: waveglow_infer(p, _wg_cfg, m, sigma=0.8))
+            # device); batching amortizes one dispatch across the whole
+            # micro-batch, and peak-normalization + int16 on device
+            # halves the device->host audio transfer
+            def vocode(p, m, n_samples):
+                audio = waveglow_infer(p, _wg_cfg, m,
+                                       sigma=0.8).astype(jnp.float32)
+                valid = (jnp.arange(audio.shape[1])[None, :]
+                         < n_samples[:, None])
+                peak = jnp.max(jnp.abs(audio) * valid, axis=1,
+                               keepdims=True)
+                out = audio / jnp.maximum(peak, 1e-8) * valid
+                return jnp.clip(out * 32767.0, -32767, 32767
+                                ).astype(jnp.int16)
+
+            self._vocode_batch = jax.jit(vocode)
 
         def synth(params, residual, sids, text, in_lens):
             return flowtron_infer(params, self.static_cfg, residual, sids,
@@ -296,17 +308,19 @@ class SynthesisEngine:
             m = jnp.asarray(mel_b)
             if self._bf16:
                 m = m.astype(jnp.bfloat16)
-            audio_all = np.asarray(self._vocode_batch(self.wg[0], m),
-                                   dtype=np.float32)
+            n_samples = jnp.asarray(
+                np.maximum(1, n_valid[:B]).astype(np.int32) * 256)
+            audio_all = np.asarray(
+                self._vocode_batch(self.wg[0], m, n_samples))
 
         for b, (text, sid, sigma, seed, slot, done) in enumerate(batch):
             n = max(1, int(n_valid[b]))
             if audio_all is not None:
-                audio = audio_all[b, :n * 256]
+                slot["wav"] = audio_all[b, :n * 256]
             else:
                 audio = self._vocode(mel[b, :, :n])
-            audio = audio / max(1e-8, np.abs(audio).max())
-            slot["wav"] = (audio * 32767).astype(np.int16)
+                audio = audio / max(1e-8, np.abs(audio).max())
+                slot["wav"] = (audio * 32767).astype(np.int16)
             done.set()
 
     def _vocode(self, mel):
