@@ -257,3 +257,62 @@ class TestBf16Serving:
         chunks = list(eng.stream("Stream me.", 0, seed=2))
         out = np.concatenate(chunks)
         assert len(out) > 0 and np.isfinite(out.astype(np.float64)).all()
+
+
+class TestHTTPEndpoints:
+    @pytest.fixture(scope="class")
+    def server(self, stream_engine):
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                                  make_handler(stream_engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def _post(self, url, body, timeout=300):
+        import json
+        import urllib.request
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    def test_healthz(self, server):
+        import json
+        import urllib.request
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+    def test_synthesize_wav(self, server):
+        with self._post(server + "/synthesize",
+                        {"text": "Hello HTTP."}) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        assert body[:4] == b"RIFF"
+
+    def test_stream_chunked_wav(self, server):
+        with self._post(server + "/stream",
+                        {"text": "Hello streaming HTTP.", "seed": 3}) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            body = r.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        pcm = np.frombuffer(body[44:], np.int16)
+        assert len(pcm) > 0 and len(pcm) % 256 == 0
+
+    def test_stream_empty_text_is_json_error(self, server):
+        """Validation must fail BEFORE the 200/chunked headers."""
+        import json
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/stream", {"text": "~~~"})
+        assert ei.value.code == 500
+        assert "empty text" in json.loads(ei.value.read())["error"]
+
+    def test_missing_field_is_400(self, server):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/synthesize", {"speaker_id": 0})
+        assert ei.value.code == 400
