@@ -274,12 +274,24 @@ int mel_compute(void* handle, const float* audio, int64_t n_samples,
     const int pad = ctx.filter_length / 2;
     const int n_frames = (int)(n_samples / ctx.hop_length) + 1;
 
-    // reflect padding
+    // reflect padding with numpy's np.pad(..., mode="reflect")
+    // semantics for ANY length (repeated reflection via the modular
+    // fold; the naive audio[pad - i] indexing reads out of bounds for
+    // clips shorter than the pad width)
+    auto reflect_idx = [n_samples](int64_t g) -> int64_t {
+        if (n_samples == 1) return 0;
+        const int64_t period = 2 * (n_samples - 1);
+        int64_t m = g % period;
+        if (m < 0) m += period;
+        return m < n_samples ? m : period - m;
+    };
     std::vector<float> padded((size_t)n_samples + 2 * pad);
-    for (int i = 0; i < pad; ++i) padded[i] = audio[pad - i];
+    for (int i = 0; i < pad; ++i)
+        padded[i] = audio[reflect_idx((int64_t)i - pad)];
     std::memcpy(padded.data() + pad, audio, (size_t)n_samples * sizeof(float));
     for (int i = 0; i < pad; ++i)
-        padded[(size_t)pad + n_samples + i] = audio[n_samples - 2 - i];
+        padded[(size_t)pad + n_samples + i] =
+            audio[reflect_idx(n_samples + i)];
 
     if (n_threads <= 1 || n_frames < 4 * n_threads) {
         mel_frames(ctx, padded.data(), n_frames, out, 0, n_frames);
