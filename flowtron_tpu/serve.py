@@ -13,6 +13,8 @@ POST /stream      same body -> chunked-transfer audio/wav: bytes flow
                   as synthesis runs (forward-only models + vocoder;
                   see infer/streaming.py)
 GET /healthz      -> {"status": "ok", "queue_depth": N}
+GET /metrics      -> request/batch/error counters, synthesized audio
+                  seconds, recent batch-latency percentiles
 
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
      [--port 8080 --max-batch 8 --batch-timeout-ms 20]
@@ -154,6 +156,13 @@ class SynthesisEngine:
                                  dtype=jnp.bfloat16 if bf16
                                  else jnp.float32))
 
+        # serving metrics (GET /metrics): counters + recent batch
+        # latencies, updated by the batching worker
+        self._metrics = {"requests": 0, "batches": 0, "errors": 0,
+                         "audio_seconds": 0.0, "stream_requests": 0}
+        self._recent_batch_ms = []
+        self._metrics_lock = threading.Lock()
+
         self._queue = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -183,6 +192,8 @@ class SynthesisEngine:
         n = min(len(ids), Tk)
         text_pad[0, :n] = np.asarray(ids)[:n]
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
+        with self._metrics_lock:
+            self._metrics["stream_requests"] += 1
         return self._stream_gen(text_pad, n, sid, sigma, seed)
 
     def _stream_gen(self, text_pad, n, sid, sigma, seed):
@@ -235,12 +246,32 @@ class SynthesisEngine:
                     batch.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
                     break
+            t0 = time.time()
             try:
                 self._run_batch(batch)
+                with self._metrics_lock:
+                    self._metrics["requests"] += len(batch)
+                    self._metrics["batches"] += 1
+                    self._recent_batch_ms.append(
+                        (time.time() - t0) * 1e3)
+                    del self._recent_batch_ms[:-100]
             except Exception as e:  # pragma: no cover
+                with self._metrics_lock:
+                    self._metrics["errors"] += len(batch)
                 for *_, slot, done in batch:
                     slot["error"] = repr(e)
                     done.set()
+
+    def metrics(self):
+        with self._metrics_lock:
+            recent = list(self._recent_batch_ms)
+            out = dict(self._metrics)
+        out["queue_depth"] = self.queue_depth
+        if recent:
+            r = sorted(recent)
+            out["batch_ms_p50"] = round(r[len(r) // 2], 1)
+            out["batch_ms_p90"] = round(r[int(len(r) * 0.9)], 1)
+        return out
 
     def _run_batch(self, batch):
         jnp = self.jnp
@@ -322,6 +353,10 @@ class SynthesisEngine:
                 audio = audio / max(1e-8, np.abs(audio).max())
                 slot["wav"] = (audio * 32767).astype(np.int16)
             done.set()
+        with self._metrics_lock:
+            self._metrics["audio_seconds"] += float(
+                np.maximum(1, n_valid[:len(batch)]).sum() * 256
+                / self.data_config["sampling_rate"])
 
     def _vocode(self, mel):
         """Griffin-Lim fallback for engines without a neural vocoder
@@ -367,6 +402,8 @@ def make_handler(engine):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "queue_depth": engine.queue_depth})
+            elif self.path == "/metrics":
+                self._json(200, engine.metrics())
             else:
                 self._json(404, {"error": "not found"})
 

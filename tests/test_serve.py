@@ -316,3 +316,14 @@ class TestHTTPEndpoints:
         with pytest.raises(urllib.error.HTTPError) as ei:
             self._post(server + "/synthesize", {"speaker_id": 0})
         assert ei.value.code == 400
+
+    def test_metrics_endpoint(self, server):
+        import json
+        import urllib.request
+        # ensure at least one batch was served
+        self._post(server + "/synthesize", {"text": "Count me."}).read()
+        with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+            m = json.loads(r.read())
+        assert m["requests"] >= 1 and m["batches"] >= 1
+        assert m["audio_seconds"] > 0
+        assert "batch_ms_p50" in m
