@@ -67,7 +67,7 @@ def inference_main(argv=None):
                              "--quantize)")
     parser.add_argument("--stream", action="store_true",
                         help="write the wav incrementally as synthesis "
-                             "runs (n_flows=1 models + vocoder -w; see "
+                             "runs (any n_flows + vocoder -w; see "
                              "infer/streaming.py)")
     args = parser.parse_args(argv)
 

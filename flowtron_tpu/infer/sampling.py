@@ -65,8 +65,9 @@ def mel_to_audio_griffinlim(mel, data_config, n_iters=30, seed=0):
 
 def _run_streaming(config, args, params, static_cfg, text_ids, speaker_id,
                    data_config):
-    """--stream: write the wav incrementally as synthesis runs
-    (forward-only models + neural vocoder; see infer/streaming.py)."""
+    """--stream: write the wav incrementally as synthesis runs (any
+    n_flows + neural vocoder; multi-flow models run the gated prelude
+    offline first — see infer/streaming.py)."""
     if not args.waveglow_path:
         raise SystemExit("--stream requires a vocoder checkpoint (-w)")
     from flowtron_tpu.vocoder import load_waveglow

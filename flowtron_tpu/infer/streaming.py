@@ -9,11 +9,26 @@ throughput. This module streams both stages under TPU constraints
 - **Mel stage** (`StreamingMelSynthesizer`): the AR inverse scan is
   causal, so it chunks exactly — run `chunk_frames` steps per dispatch
   with the scan carry (LSTM/attention state) threaded between calls
-  (models/ar_step.py `carry`/`return_carry`). Only forward-topology
-  models stream (n_flows == 1 in the reference's alternating layout:
-  a backward flow consumes the whole utterance by construction). Gate
-  termination is tracked on host across chunks, same first-hit
-  semantics as the offline path.
+  (models/ar_step.py `carry`/`return_carry`).
+
+  * n_flows == 1: fully incremental — latents are sampled per chunk and
+    gate termination is tracked on host across chunks, same first-hit
+    semantics as the offline path.
+  * n_flows >= 2 (the flagship config): two-stage. The reference's
+    inference runs the flows in REVERSE, so the gated last flow — a
+    backward flow in the alternating layout, which consumes the whole
+    utterance by construction — runs first. Stage 1 therefore runs
+    flows n-1..1 offline in one dispatch (cheap: one fused scan pass,
+    ~51 ms for 4.6 s of audio at flagship dims on v5e), yielding the
+    intermediate latents plus the per-stream gate n_valid. Stage 2
+    streams the remaining FORWARD flow 0 (always forward: even index)
+    chunk by chunk with carried state — exactly the offline scan,
+    prefix by prefix. Time-to-first-audio is stage 1 + one chunk +
+    vocoder lookahead instead of the whole utterance.
+
+  Frames at or past a stream's own gate n_valid are masked to silence
+  before being yielded (streamed audio cannot be retracted; offline
+  callers trim at n_valid after the fact).
 
 - **Vocoder stage** (`StreamingVocoder`): WaveGlow is convolutional,
   not causal, so chunking uses a sliding fixed-width window with
@@ -34,7 +49,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtron_tpu.models.ar_step import ar_step_infer
+from flowtron_tpu.models.ar_step import (
+    ar_step_infer, ar_back_step_infer,
+)
 from flowtron_tpu.models.flowtron import _encode_text
 from flowtron_tpu.utils.masks import sequence_mask
 from flowtron_tpu.vocoder.waveglow import (
@@ -42,6 +59,9 @@ from flowtron_tpu.vocoder.waveglow import (
 )
 
 HOP = 256  # audio samples per mel frame (data_config.hop_length)
+# log-mel silence (the dynamic-range clamp floor, log(1e-5)): what a
+# trimmed/post-gate frame vocodes to
+SILENCE = float(np.log(1e-5))
 
 
 class StreamingMelSynthesizer:
@@ -52,55 +72,94 @@ class StreamingMelSynthesizer:
         for mel_chunk in s.stream(key, speaker_ids, text, sigma=0.5):
             ...  # (B, n_mel, chunk_frames), final chunk may be partial
         s.n_valid  # (B,) total valid frames, gate semantics == offline
+
+    Works for any n_flows: forward-only models stream fully
+    incrementally; multi-flow models run a one-dispatch offline prelude
+    over flows n-1..1 (which includes the gated backward flow) and then
+    stream the remaining forward flow 0 (see module docstring).
     """
 
     def __init__(self, params, config, chunk_frames=40, temperature=1.0,
                  gate_threshold=0.5, max_frames=2000):
-        if config["n_flows"] != 1:
-            raise ValueError(
-                "streaming requires a forward-only model (n_flows=1 in the "
-                "reference's alternating layout); backward flows consume "
-                f"the full utterance. Got n_flows={config['n_flows']}.")
         self.params = params
         self.config = config
+        self.n_flows = int(config["n_flows"])
         self.chunk_frames = int(chunk_frames)
         self.temperature = float(temperature)
         self.gate_threshold = float(gate_threshold)
         self.max_frames = int(max_frames)
         self.n_valid = None
 
-        flow = params["flows"][0]
-        self._has_gate = "gate_layer" in flow
+        flow0 = params["flows"][0]
+        # n_flows==1: the (only) flow carries the gate; n_flows>=2: the
+        # gate lives on the last flow, evaluated inside the prelude
+        self._gate_in_stream = self.n_flows == 1 and "gate_layer" in flow0
         # sample latents in the params' dtype (bf16 serving engines would
         # otherwise promote every op back to fp32)
         from flowtron_tpu.utils.weights import resolve_weight
-        self._dtype = resolve_weight(flow["conv"]["w"]).dtype
+        self._dtype = resolve_weight(flow0["conv"]["w"]).dtype
 
         def encode(p, sids, text, key_mask):
             return _encode_text(p, config, sids, text, key_mask)
 
-        def chunk_step(p, z_chunk, enc, key_mask, carry):
+        def chunk_step(p, z_chunk, enc, key_mask, carry, temperature):
             return ar_step_infer(
                 p["flows"][0], z_chunk, enc, key_mask=key_mask,
-                temperature=self.temperature, carry=carry,
+                temperature=temperature, carry=carry,
                 return_carry=True)
 
         self._encode = jax.jit(encode)
         self._chunk = jax.jit(chunk_step)
 
-    def stream(self, key, speaker_ids, text, sigma=0.5, in_lens=None,
-               residual=None):
-        """Generator of (B, n_mel, chunk_frames) mel chunks.
+        self._prelude = None
+        if self.n_flows > 1:
+            n_flows = self.n_flows
+            gate_thr = self.gate_threshold
 
-        z is sampled per chunk via fold_in(key, chunk_index) unless a
-        full `residual` (B, n_mel, N) is supplied (testing /
-        style-transfer), in which case chunks are sliced from it.
+            def prelude(p, residual, enc, key_mask, temperature):
+                """Flows n-1..1 of the reversed inference chain in one
+                dispatch (reference:flowtron.py:924-929 minus the last
+                inverse step). Returns (z for flow 0, n_valid)."""
+                z = residual
+                n_valid = None
+                for rev_i, flow_params in enumerate(
+                        reversed(p["flows"][1:])):
+                    i = n_flows - 1 - rev_i
+                    step = ar_step_infer if i % 2 == 0 else \
+                        ar_back_step_infer
+                    z, _, n_valid = step(
+                        flow_params, z, enc, key_mask, None,
+                        temperature, gate_thr, n_valid=n_valid)
+                if n_valid is None:
+                    n_valid = jnp.full((z.shape[1],), z.shape[0],
+                                       jnp.int32)
+                return z, n_valid
+
+            self._prelude = jax.jit(prelude)
+
+    def stream(self, key, speaker_ids, text, sigma=0.5, in_lens=None,
+               residual=None, temperature=None, max_frames=None):
+        """Generator of (B, n_mel, <=chunk_frames) mel chunks.
+
+        For n_flows==1, z is sampled per chunk via fold_in(key,
+        chunk_index) unless a full `residual` (B, n_mel, N) is supplied
+        (testing / style-transfer), in which case chunks are sliced from
+        it. For n_flows>=2 the full residual is sampled (or taken) up
+        front and pushed through the offline prelude first.
+
+        temperature / max_frames override the constructor defaults per
+        call without recompiling (temperature is a traced scalar; for
+        multi-flow models max_frames caps the emitted length against the
+        fixed prelude shape — an output-length cap, not a change of the
+        latent length the backward flow sees).
+
         After exhaustion, `self.n_valid` holds per-stream valid frame
-        counts (first gate hit, inclusive — offline semantics).
+        counts (first gate hit, inclusive — offline semantics). Frames
+        past a stream's own n_valid within yielded chunks are silence.
         """
-        B = speaker_ids.shape[0]
-        n_mel = self.config["n_mel_channels"]
-        C = self.chunk_frames
+        temp = jnp.asarray(
+            self.temperature if temperature is None else float(temperature),
+            jnp.float32)
         key_mask = None
         if in_lens is not None:
             key_mask = sequence_mask(in_lens, text.shape[1])
@@ -108,11 +167,28 @@ class StreamingMelSynthesizer:
             if key_mask is not None else \
             self._encode(self.params, speaker_ids, text, None)
 
+        if self.n_flows == 1:
+            yield from self._stream_incremental(
+                key, enc, key_mask, speaker_ids.shape[0], sigma, residual,
+                temp, max_frames)
+        else:
+            yield from self._stream_two_stage(
+                key, enc, key_mask, speaker_ids.shape[0], sigma, residual,
+                temp, max_frames)
+
+    # -- n_flows == 1: fully incremental ---------------------------------
+    def _stream_incremental(self, key, enc, key_mask, B, sigma, residual,
+                            temp, max_frames_arg):
+        n_mel = self.config["n_mel_channels"]
+        C = self.chunk_frames
+        cap = self.max_frames if max_frames_arg is None \
+            else min(int(max_frames_arg), self.max_frames)
+
         if residual is not None:
-            max_frames = residual.shape[2]
+            max_frames = min(residual.shape[2], cap)
             res_tbm = jnp.transpose(residual, (2, 0, 1))  # (N, B, n_mel)
         else:
-            max_frames = self.max_frames
+            max_frames = cap
 
         carry = None
         fired = np.zeros((B,), bool)
@@ -127,23 +203,22 @@ class StreamingMelSynthesizer:
                     z_c = jnp.concatenate(
                         [z_c, jnp.zeros((pad,) + z_c.shape[1:],
                                         z_c.dtype)], 0)
-                n_real = min(C, max_frames - c * C)
             else:
                 z_c = sigma * jax.random.normal(
                     jax.random.fold_in(key, c), (C, B, n_mel),
                     self._dtype)
-                n_real = min(C, max_frames - c * C)
+            n_real = min(C, max_frames - c * C)
             mel_c, _attn, gates_c, carry = self._chunk(
-                self.params, z_c, enc, key_mask, carry)
+                self.params, z_c, enc, key_mask, carry, temp)
 
-            if self._has_gate:
+            if self._gate_in_stream:
                 g = np.asarray(gates_c, np.float32)[:n_real]  # (n, B)
                 hit = g > self.gate_threshold
                 for b in range(B):
                     if not fired[b] and hit[:, b].any():
                         fired[b] = True
                         n_valid[b] = c * C + int(hit[:, b].argmax()) + 1
-            if self._has_gate and fired.all():
+            if self._gate_in_stream and fired.all():
                 done_at = int(n_valid.max())
                 # trim this chunk to the utterance end: frames past the
                 # last gate hit must never reach the vocoder — streamed
@@ -152,7 +227,14 @@ class StreamingMelSynthesizer:
                 n_real = min(n_real, done_at - c * C)
 
             if n_real > 0:
-                yield jnp.transpose(mel_c[:n_real], (1, 2, 0))
+                mel_y = mel_c[:n_real]
+                if self._gate_in_stream and fired.any():
+                    # per-stream exactness: a fired stream's frames past
+                    # its OWN n_valid become silence, not the scan's
+                    # meaningless continuation (they are already
+                    # computed; only their content is replaced)
+                    mel_y = _mask_past_valid(mel_y, c * C, n_valid, fired)
+                yield jnp.transpose(mel_y, (1, 2, 0))
             c += 1
             if done_at is not None and c * C >= done_at:
                 break
@@ -160,6 +242,58 @@ class StreamingMelSynthesizer:
         total = min(c * C, max_frames)
         n_valid[~fired] = total
         self.n_valid = n_valid.copy()
+
+    # -- n_flows >= 2: offline prelude + streamed forward flow -----------
+    def _stream_two_stage(self, key, enc, key_mask, B, sigma, residual,
+                          temp, max_frames_arg):
+        n_mel = self.config["n_mel_channels"]
+        C = self.chunk_frames
+        if residual is None:
+            residual = sigma * jax.random.normal(
+                key, (B, n_mel, self.max_frames), self._dtype)
+        z_tbm = jnp.transpose(residual, (2, 0, 1))  # (N, B, n_mel)
+        N = z_tbm.shape[0]
+
+        z1, n_valid = self._prelude(self.params, z_tbm, enc, key_mask,
+                                    temp)
+        nv = np.asarray(n_valid, np.int64)
+        if max_frames_arg is not None:
+            nv = np.minimum(nv, int(max_frames_arg))
+        self.n_valid = nv.copy()
+        done_at = max(1, int(nv.max()))
+
+        carry = None
+        c = 0
+        while c * C < done_at:
+            z_c = z1[c * C:(c + 1) * C]
+            if z_c.shape[0] < C:
+                pad = C - z_c.shape[0]
+                z_c = jnp.concatenate(
+                    [z_c, jnp.zeros((pad,) + z_c.shape[1:], z_c.dtype)], 0)
+            mel_c, _attn, _gates, carry = self._chunk(
+                self.params, z_c, enc, key_mask, carry, temp)
+            n_real = min(C, done_at - c * C, N - c * C)
+            if n_real > 0:
+                mel_y = _mask_past_valid(mel_c[:n_real], c * C, nv,
+                                         np.ones((B,), bool))
+                yield jnp.transpose(mel_y, (1, 2, 0))
+            c += 1
+
+
+def _mask_past_valid(mel_nbm, c0, n_valid, active):
+    """Silence frames at global positions >= their stream's n_valid.
+
+    mel_nbm: (n, B, M); c0: first global frame index of this chunk;
+    n_valid: (B,) host ints; active: (B,) host bools — streams whose
+    n_valid is final (unfired streams keep their frames).
+    """
+    n = mel_nbm.shape[0]
+    pos = c0 + np.arange(n)
+    past = active[None, :] & (pos[:, None] >= np.asarray(n_valid)[None, :])
+    if not past.any():
+        return mel_nbm
+    return jnp.where(jnp.asarray(past)[:, :, None],
+                     jnp.asarray(SILENCE, mel_nbm.dtype), mel_nbm)
 
 
 def positional_z(key, config, B, start, length, sigma, dtype=jnp.float32):
@@ -279,13 +413,14 @@ class StreamingVocoder:
 
 
 def pump_stream(mel_s, voc, key, speaker_ids, text, sigma=0.5,
-                in_lens=None):
+                in_lens=None, temperature=None, max_frames=None):
     """Drive a mel streamer into a vocoder streamer; yields waveform
     chunks. Shared by stream_tts and the serving engine (which keeps
     both streamers warm across requests)."""
     pending = 0
     for mel_chunk in mel_s.stream(key, speaker_ids, text, sigma=sigma,
-                                  in_lens=in_lens):
+                                  in_lens=in_lens, temperature=temperature,
+                                  max_frames=max_frames):
         audio = voc.push(mel_chunk)
         pending += mel_chunk.shape[2]
         if audio.shape[1]:
@@ -302,16 +437,19 @@ def pump_stream(mel_s, voc, key, speaker_ids, text, sigma=0.5,
 def stream_tts(params, config, wg_params, wg_config, key, speaker_ids,
                text, sigma=0.5, wg_sigma=0.8, chunk_frames=40,
                gate_threshold=0.5, max_frames=2000, in_lens=None,
-               context=24, lookahead=16, impl="nch"):
+               context=24, lookahead=16, impl="nch", temperature=1.0):
     """Full streaming TTS: yields (B, n*HOP) float32 waveform chunks.
 
-    Time-to-first-audio is one mel chunk + lookahead instead of the
-    whole utterance. Requires a forward-only (n_flows=1) model.
+    Time-to-first-audio is one mel chunk + lookahead for forward-only
+    models, plus the one-dispatch gated prelude for multi-flow models
+    (the flagship n_flows=2 config streams too — see
+    StreamingMelSynthesizer).
     """
     k_mel, k_voc = jax.random.split(key)
     mel_s = StreamingMelSynthesizer(
         params, config, chunk_frames=chunk_frames,
-        gate_threshold=gate_threshold, max_frames=max_frames)
+        temperature=temperature, gate_threshold=gate_threshold,
+        max_frames=max_frames)
     voc = StreamingVocoder(wg_params, wg_config, k_voc, sigma=wg_sigma,
                            context=context, lookahead=lookahead, impl=impl)
     yield from pump_stream(mel_s, voc, k_mel, speaker_ids, text,

@@ -214,7 +214,11 @@ def ar_step_infer(params, residual, text, key_mask=None, attn_prior=None,
     from flowtron_tpu.infer.quantize import weight_shape
     N, B, n_mel = residual.shape
 
-    if fused and not return_carry and carry is None \
+    # per-stream (B, 1) temperature vectors broadcast through the scan
+    # path; the fused kernel's SMEM temperature slot is scalar-only
+    temp_is_scalar = jnp.ndim(temperature) == 0 or \
+        all(d == 1 for d in jnp.shape(temperature))
+    if fused and temp_is_scalar and not return_carry and carry is None \
             and attn_prior is None and attn is None \
             and "attn_cond_layer" not in params:
         from flowtron_tpu.ops.decoder_pallas import (

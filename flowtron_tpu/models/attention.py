@@ -141,7 +141,10 @@ def attention_step(params, query, k_proj, vals, key_mask=None,
     q = linear_apply(params["query"], query)  # (B, D)
     v_w = params["v"]["w"][:, 0]
     scores = jnp.einsum("bkd,d->bk", jnp.tanh(q[:, None, :] + k_proj), v_w)
-    scores = scores / temperature
+    # temperature may be a traced scalar or per-stream (B, 1) vector;
+    # cast so it never promotes a bf16 compute path (the scan carry
+    # dtype must be stable)
+    scores = scores / jnp.asarray(temperature, scores.dtype)
     if key_mask is not None:
         scores = jnp.where(key_mask, scores, MASK_VALUE)
     attn = jax.nn.softmax(scores, axis=-1)

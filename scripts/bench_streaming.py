@@ -71,6 +71,33 @@ def main():
           f"{len(ts)} chunks, {audio_s:.2f}s audio, "
           f"last-at {ts[-1]*1e3:.0f} ms (agg RTF {ts[-1]/audio_s:.4f})")
 
+    # flagship 2-flow topology (round 3): two-stage streaming — the
+    # gated back flow runs as a one-dispatch offline prelude, then the
+    # forward flow streams with carried state. TTFA = prelude + first
+    # chunk + vocoder lookahead.
+    params2, cfg2 = flowtron_init(jax.random.PRNGKey(5), n_flows=2,
+                                  use_gate_layer=True, **dims)
+    params2 = to_bf16(params2)
+    mel_s2 = StreamingMelSynthesizer(params2, cfg2, chunk_frames=40,
+                                     gate_threshold=1e6, max_frames=N)
+
+    def run_stream2():
+        ts, t0, total = [], time.perf_counter(), 0
+        voc.reset(jax.random.PRNGKey(4))
+        for audio in pump_stream(mel_s2, voc, jax.random.PRNGKey(3),
+                                 sids, text):
+            ts.append(time.perf_counter() - t0)
+            total += audio.shape[1]
+        return ts, total
+
+    run_stream2()
+    ts2, total2 = run_stream2()
+    audio_s2 = total2 / 22050.0
+    print(f"stream 2-flow (flagship): TTFA {ts2[0]*1e3:7.1f} ms, chunks "
+          f"at {', '.join(f'{t*1e3:.0f}' for t in ts2[:6])}... ms; "
+          f"{len(ts2)} chunks, {audio_s2:.2f}s audio, "
+          f"last-at {ts2[-1]*1e3:.0f} ms (agg RTF {ts2[-1]/audio_s2:.4f})")
+
     # offline baseline: full mel then full vocoder (same shapes)
     residual = jnp.asarray(
         (rng.standard_normal((1, 80, N)) * 0.5).astype(np.float32)

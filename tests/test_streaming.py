@@ -84,11 +84,82 @@ class TestMelStreaming:
         assert len(chunks) == 1
         assert s.n_valid[0] == 1
 
-    def test_two_flow_model_rejected(self):
-        params, config = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+    def test_per_stream_silence_past_gate(self, model1):
+        """B=2 with one stream gating early: its yielded frames past its
+        OWN n_valid are silence (never the scan's continuation), while
+        the other stream matches offline to its own n_valid."""
+        from flowtron_tpu.infer.streaming import SILENCE
+        params, config = model1
+        rng = np.random.default_rng(7)
+        B, N = 2, 48
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.6).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 7)))
+        sids = jnp.asarray([0, 1])
+
+        s = StreamingMelSynthesizer(params, config, chunk_frames=8,
+                                    gate_threshold=0.35)
+        chunks = [np.asarray(c) for c in
+                  s.stream(jax.random.PRNGKey(0), sids, text,
+                           residual=residual)]
+        streamed = np.concatenate(chunks, axis=2)
+        nv = s.n_valid
+        if nv.min() == nv.max():
+            pytest.skip("both streams gated at the same frame")
+        b_early = int(nv.argmin())
+        past = streamed[b_early, :, int(nv[b_early]):]
+        if past.size:
+            np.testing.assert_allclose(past, SILENCE, atol=1e-6)
+
+    def test_two_flow_chunked_matches_offline(self):
+        """The flagship 2-flow topology streams: offline gated prelude
+        (flows n-1..1), then the forward flow 0 chunk-exact."""
+        params, config = flowtron_init(jax.random.PRNGKey(5), n_flows=2,
                                        use_gate_layer=True, **SMALL)
-        with pytest.raises(ValueError, match="forward-only"):
-            StreamingMelSynthesizer(params, config)
+        for f in params["flows"]:
+            f["conv"]["w"] = 0.05 * jax.random.normal(
+                jax.random.PRNGKey(6), f["conv"]["w"].shape)
+        rng = np.random.default_rng(8)
+        B, N = 2, 40
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.6).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 6)))
+        sids = jnp.asarray([0, 1])
+
+        mel_full, _, nv_full = flowtron_infer(
+            params, config, residual, sids, text, gate_threshold=0.35)
+
+        s = StreamingMelSynthesizer(params, config, chunk_frames=16,
+                                    gate_threshold=0.35, max_frames=N)
+        chunks = list(s.stream(jax.random.PRNGKey(0), sids, text,
+                               residual=residual))
+        streamed = np.concatenate([np.asarray(c) for c in chunks], axis=2)
+
+        np.testing.assert_array_equal(np.asarray(nv_full), s.n_valid)
+        for b in range(B):
+            nb = min(int(s.n_valid[b]), streamed.shape[2])
+            np.testing.assert_allclose(
+                streamed[b, :, :nb], np.asarray(mel_full)[b, :, :nb],
+                atol=1e-5)
+
+    def test_temperature_and_max_frames_per_call(self, model1):
+        """Per-call temperature is a traced scalar (no recompile per
+        value) and max_frames caps the emitted length."""
+        params, config = model1
+        rng = np.random.default_rng(9)
+        text = jnp.asarray(rng.integers(1, 185, (1, 6)))
+        sids = jnp.zeros((1,), jnp.int32)
+        s = StreamingMelSynthesizer(params, config, chunk_frames=8,
+                                    gate_threshold=1e6, max_frames=32)
+        a = np.concatenate([np.asarray(c) for c in s.stream(
+            jax.random.PRNGKey(1), sids, text, temperature=1.0)], axis=2)
+        b = np.concatenate([np.asarray(c) for c in s.stream(
+            jax.random.PRNGKey(1), sids, text, temperature=3.0)], axis=2)
+        assert not np.allclose(a, b)
+        capped = np.concatenate([np.asarray(c) for c in s.stream(
+            jax.random.PRNGKey(1), sids, text, max_frames=9)], axis=2)
+        assert capped.shape[2] <= 16  # ceil(9/8) chunks
+        assert s.n_valid[0] == 9
 
     def test_carry_roundtrip_exact(self, model1):
         """ar_step_infer carry API: split scan == one scan, bitwise."""
