@@ -7,27 +7,92 @@ coalesces concurrent requests into one TPU dispatch, and a thread-pool
 HTTP front end.
 
 POST /synthesize  {"text": "...", "speaker_id": 0, "sigma": 0.5,
-                   "n_frames": 400, "seed": 1234}
+                   "n_frames": 400, "temperature": 1.0, "seed": 1234,
+                   "split": false}
   -> audio/wav bytes (Griffin-Lim fallback or WaveGlow when loaded)
+  Text longer than the largest bucket is rejected with 413 unless
+  "split": true, which sentence-splits and synthesizes the segments as
+  one micro-batch. An overloaded queue rejects with 429.
 POST /stream      same body -> chunked-transfer audio/wav: bytes flow
-                  as synthesis runs (forward-only models + vocoder;
+                  as synthesis runs (any n_flows + vocoder;
                   see infer/streaming.py)
 GET /healthz      -> {"status": "ok", "queue_depth": N}
-GET /metrics      -> request/batch/error counters, synthesized audio
-                  seconds, recent batch-latency percentiles
+GET /metrics      -> request/batch/error/rejection counters, synthesized
+                  audio seconds, recent batch-latency percentiles
 
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
-     [--port 8080 --max-batch 8 --batch-timeout-ms 20]
+     [--port 8080 --max-batch 8 --batch-timeout-ms 20 --max-queue 64]
 """
 
 import argparse
 import io
 import json
 import queue
+import re
 import threading
 import time
 
 import numpy as np
+
+
+class TextTooLong(ValueError):
+    """Request text exceeds the largest compiled text bucket (HTTP 413).
+
+    Replaces the former silent ids[:Tk] truncation: a paragraph-length
+    request must never return audio for its prefix as if it were the
+    whole input.
+    """
+
+    def __init__(self, n_ids, max_ids):
+        super().__init__(
+            f"text is {n_ids} symbols after the frontend; the largest "
+            f"bucket is {max_ids}. Shorten the text or pass "
+            f"\"split\": true to sentence-split server-side.")
+        self.n_ids = n_ids
+        self.max_ids = max_ids
+
+
+class EngineOverloaded(RuntimeError):
+    """Request queue is full (HTTP 429)."""
+
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
+
+
+def split_text_to_fit(text, fits):
+    """Split text into segments for which fits(segment) is True.
+
+    Splits at sentence boundaries first, then packs consecutive
+    sentences greedily; a single over-long sentence falls back to
+    word-boundary splitting. Raises TextTooLong (via fits's measurer)
+    only if a single word exceeds the budget.
+    """
+    sentences = [s for s in _SENTENCE_SPLIT.split(text.strip()) if s]
+    segments = []
+    cur = ""
+    for s in sentences:
+        cand = (cur + " " + s).strip()
+        if fits(cand):
+            cur = cand
+            continue
+        if cur:
+            segments.append(cur)
+        if fits(s):
+            cur = s
+            continue
+        # single over-long sentence: pack words
+        cur = ""
+        for w in s.split():
+            cand = (cur + " " + w).strip()
+            if fits(cand):
+                cur = cand
+            else:
+                if cur:
+                    segments.append(cur)
+                cur = w
+    if cur:
+        segments.append(cur)
+    return segments
 
 
 class SynthesisEngine:
@@ -37,7 +102,8 @@ class SynthesisEngine:
     def __init__(self, config, flowtron_path, waveglow_path="",
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
                  n_frames=400, int8=False, quantize="", fused=False,
-                 mesh_shape=None, bf16=False):
+                 mesh_shape=None, bf16=False, max_queue=64,
+                 stream_stall_timeout=30.0):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -50,6 +116,16 @@ class SynthesisEngine:
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1000.0
         self.text_buckets = sorted(text_buckets)
+        self.stream_stall_timeout = float(stream_stall_timeout)
+
+        if mesh_shape and fused:
+            # the fused Pallas decoder assumes whole weights in one
+            # core's VMEM; TP-sharded params would fail at first-request
+            # compile (or silently gather). Mirror the quantize fallback.
+            print("WARNING: --fused is incompatible with --mesh "
+                  "(VMEM-resident kernel vs TP-sharded weights); "
+                  "disabling fused")
+            fused = False
 
         data_config = dict(config["data_config"])
         self.data_config = data_config
@@ -105,9 +181,10 @@ class SynthesisEngine:
 
             self._vocode_batch = jax.jit(vocode)
 
-        def synth(params, residual, sids, text, in_lens):
+        def synth(params, residual, sids, text, in_lens, temperature):
             return flowtron_infer(params, self.static_cfg, residual, sids,
-                                  text, gate_threshold=0.5, in_lens=in_lens,
+                                  text, temperature=temperature,
+                                  gate_threshold=0.5, in_lens=in_lens,
                                   fused="early" if fused else False)
 
         _zshape = (self.static_cfg["n_mel_channels"], n_frames)
@@ -133,16 +210,19 @@ class SynthesisEngine:
             self._batch_mult = int(mesh.shape["data"])
             self._synth = jax.jit(
                 synth, in_shardings=(pshard, bshard, bshard, bshard,
-                                     bshard))
+                                     bshard, None))
         else:
             self._synth = jax.jit(synth)
 
-        # streaming path: forward-only model + neural vocoder required.
-        # One warm streamer pair reused across requests (serialized by a
-        # lock — streaming is the latency path, not the throughput path).
+        # streaming path: neural vocoder required. Any n_flows streams
+        # (multi-flow models run the gated prelude offline — see
+        # infer/streaming.py). One warm streamer pair reused across
+        # requests; the lock serializes PRODUCTION only — chunks cross
+        # to the HTTP handler through a bounded queue so a stalled
+        # client cannot pin the streamers (stream_stall_timeout).
         self._streamers = None
         self._stream_lock = threading.Lock()
-        if self.static_cfg["n_flows"] == 1 and self.wg is not None:
+        if self.wg is not None:
             from flowtron_tpu.infer.streaming import (
                 StreamingMelSynthesizer, StreamingVocoder)
             wg_params, wg_cfg = self.wg
@@ -159,68 +239,192 @@ class SynthesisEngine:
         # serving metrics (GET /metrics): counters + recent batch
         # latencies, updated by the batching worker
         self._metrics = {"requests": 0, "batches": 0, "errors": 0,
-                         "audio_seconds": 0.0, "stream_requests": 0}
+                         "audio_seconds": 0.0, "stream_requests": 0,
+                         "rejected_too_long": 0, "rejected_overload": 0,
+                         "text_clamped": 0, "stream_stalls": 0}
         self._recent_batch_ms = []
         self._metrics_lock = threading.Lock()
 
-        self._queue = queue.Queue()
+        # bounded: overload returns 429 instead of unbounded latency
+        self._queue = queue.Queue(maxsize=max(1, int(max_queue)))
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def _count(self, name, by=1):
+        with self._metrics_lock:
+            self._metrics[name] += by
 
     @property
     def can_stream(self):
         return self._streamers is not None
 
-    def stream(self, text, speaker_id=0, sigma=0.5, seed=1234):
+    def _text_to_ids(self, text):
+        """Frontend + validation shared by both entry points. Raises
+        ValueError on empty text, TextTooLong past the largest bucket."""
+        ids = self.frontend.get_text(text)
+        if len(ids) == 0:
+            raise ValueError("empty text after cleaning")
+        if len(ids) > self.text_buckets[-1]:
+            self._count("rejected_too_long")
+            raise TextTooLong(len(ids), self.text_buckets[-1])
+        return ids
+
+    def stream(self, text, speaker_id=0, sigma=0.5, seed=1234,
+               n_frames=None, temperature=None):
         """Mono int16 PCM chunk generator (time-to-first-audio is one
-        mel chunk + vocoder lookahead). Requires n_flows == 1 and a
-        loaded vocoder; amplitude uses a fixed clip scale (a streaming
-        response cannot be normalized to its own global peak).
+        mel chunk + vocoder lookahead, plus the offline gated prelude
+        for multi-flow models). Requires a loaded vocoder; amplitude
+        uses a fixed clip scale (a streaming response cannot be
+        normalized to its own global peak).
 
         Validation runs eagerly (not at first next()) so HTTP callers
         can still return 4xx/5xx before committing to a 200 + chunked
         response."""
         if self._streamers is None:
             raise RuntimeError(
-                "streaming requires a forward-only model (n_flows=1) "
-                "and a neural vocoder (-w)")
-        ids = self.frontend.get_text(text)
-        if len(ids) == 0:
-            raise ValueError("empty text after cleaning")
+                "streaming requires a neural vocoder (-w)")
+        ids = self._text_to_ids(text)
         Tk = self._bucket(len(ids))
         text_pad = np.zeros((1, Tk), np.int64)
-        n = min(len(ids), Tk)
-        text_pad[0, :n] = np.asarray(ids)[:n]
+        n = len(ids)
+        text_pad[0, :n] = np.asarray(ids)
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
-        with self._metrics_lock:
-            self._metrics["stream_requests"] += 1
-        return self._stream_gen(text_pad, n, sid, sigma, seed)
+        self._count("stream_requests")
+        return self._stream_gen(text_pad, n, sid, sigma, seed,
+                                n_frames, temperature)
 
-    def _stream_gen(self, text_pad, n, sid, sigma, seed):
+    def _stream_gen(self, text_pad, n, sid, sigma, seed, n_frames,
+                    temperature):
+        """Producer thread owns the streamer lock; chunks cross to the
+        caller through a bounded queue. A consumer that stalls longer
+        than stream_stall_timeout (dead client socket) aborts the
+        stream and releases the streamers instead of pinning them."""
         from flowtron_tpu.infer.streaming import pump_stream
         jnp = self.jnp
-        with self._stream_lock:
-            mel_s, voc = self._streamers
-            k_mel, k_voc = self.jax.random.split(
-                self.jax.random.PRNGKey(int(seed)))
-            voc.reset(k_voc)
-            for audio in pump_stream(
-                    mel_s, voc, k_mel, jnp.asarray([sid]),
-                    jnp.asarray(text_pad), sigma=float(sigma),
-                    in_lens=jnp.asarray([n])):
-                chunk = np.clip(audio[0], -1.0, 1.0)
-                yield (chunk * 32767).astype(np.int16)
+        out_q = queue.Queue(maxsize=4)
+        cancel = threading.Event()
+
+        def produce():
+            err = None
+            try:
+                with self._stream_lock:
+                    if cancel.is_set():
+                        return
+                    mel_s, voc = self._streamers
+                    k_mel, k_voc = self.jax.random.split(
+                        self.jax.random.PRNGKey(int(seed)))
+                    voc.reset(k_voc)
+                    for audio in pump_stream(
+                            mel_s, voc, k_mel, jnp.asarray([sid]),
+                            jnp.asarray(text_pad), sigma=float(sigma),
+                            in_lens=jnp.asarray([n]),
+                            temperature=temperature,
+                            max_frames=n_frames):
+                        if cancel.is_set():
+                            return
+                        chunk = np.clip(audio[0], -1.0, 1.0)
+                        pcm = (chunk * 32767).astype(np.int16)
+                        try:
+                            out_q.put(pcm,
+                                      timeout=self.stream_stall_timeout)
+                        except queue.Full:
+                            self._count("stream_stalls")
+                            return
+            except Exception as e:  # surfaced to the consumer
+                err = e
+            finally:
+                # lock is released by now (with-block exited above)
+                try:
+                    out_q.put(err, timeout=5)
+                except queue.Full:
+                    pass
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                try:
+                    item = out_q.get(timeout=1.0)
+                except queue.Empty:
+                    # sentinel can be lost when a stall-aborted producer
+                    # finds the queue still full; fall back to liveness
+                    if not t.is_alive():
+                        break
+                    continue
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
+            # drain so a producer blocked on put() can observe cancel
+            # and release the streamer lock
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    time.sleep(0.005)
 
     # -- request path -----------------------------------------------------
-    def submit(self, text, speaker_id=0, sigma=0.5, seed=1234):
-        """Blocking: returns (wav_int16, sample_rate)."""
-        done = threading.Event()
-        slot = {}
-        self._queue.put((text, speaker_id, sigma, seed, slot, done))
-        done.wait()
-        if "error" in slot:
-            raise RuntimeError(slot["error"])
-        return slot["wav"], self.data_config["sampling_rate"]
+    def submit(self, text, speaker_id=0, sigma=0.5, seed=1234,
+               n_frames=None, temperature=None, split=False):
+        """Blocking: returns (wav_int16, sample_rate).
+
+        Raises TextTooLong when the text exceeds the largest bucket,
+        unless split=True — then it is sentence-split and the segments
+        are enqueued together (they coalesce into one micro-batch) and
+        the audio concatenated. Raises EngineOverloaded when the
+        request queue is full.
+        """
+        try:
+            ids = self._text_to_ids(text)
+            pieces = [(text, ids)]
+        except TextTooLong:
+            if not split:
+                raise
+            max_ids = self.text_buckets[-1]
+
+            def fits(seg):
+                return len(self.frontend.get_text(seg)) <= max_ids
+
+            segs = split_text_to_fit(text, fits)
+            pieces = []
+            for s in segs:
+                sids_ = self.frontend.get_text(s)
+                if len(sids_) == 0:
+                    continue
+                if len(sids_) > max_ids:  # a single over-long word
+                    raise TextTooLong(len(sids_), max_ids)
+                pieces.append((s, sids_))
+            if not pieces:
+                raise ValueError("empty text after cleaning")
+
+        slots = []
+        for i, (seg, ids) in enumerate(pieces):
+            done = threading.Event()
+            slot = {}
+            item = (ids, speaker_id, sigma, int(seed) + i, n_frames,
+                    temperature, slot, done)
+            try:
+                self._queue.put_nowait(item)
+            except queue.Full:
+                self._count("rejected_overload")
+                # release any already-queued segments' waiters
+                for s, d in slots:
+                    s["error"] = "overloaded"
+                raise EngineOverloaded(
+                    f"request queue full ({self._queue.maxsize}); "
+                    "retry later")
+            slots.append((slot, done))
+        for slot, done in slots:
+            done.wait()
+        for slot, _ in slots:
+            if "error" in slot:
+                raise RuntimeError(slot["error"])
+        wav = np.concatenate([slot["wav"] for slot, _ in slots]) \
+            if len(slots) > 1 else slots[0][0]["wav"]
+        return wav, self.data_config["sampling_rate"]
 
     @property
     def queue_depth(self):
@@ -275,20 +479,8 @@ class SynthesisEngine:
 
     def _run_batch(self, batch):
         jnp = self.jnp
-        ids_list, keep = [], []
-        for text, sid, sigma, seed, slot, done in batch:
-            ids = self.frontend.get_text(text)
-            if len(ids) == 0:
-                slot["error"] = "empty text after cleaning"
-                done.set()
-                continue
-            ids_list.append(ids)
-            keep.append((text, sid, sigma, seed, slot, done))
-        if not keep:
-            return
-        batch = keep
 
-        Tk = self._bucket(max(len(i) for i in ids_list))
+        Tk = self._bucket(max(len(ids) for ids, *_ in batch))
         # bucket the batch dim to a power of two (bounded set of
         # compiled programs under bursty load) and to a multiple of the
         # mesh's data axis; padded rows duplicate row 0
@@ -302,17 +494,37 @@ class SynthesisEngine:
         sids = np.zeros((B,), np.int64)
         seeds = np.zeros((B,), np.int64)
         sigmas = np.full((B,), 0.5, np.float32)
-        for b, (ids, (_, sid, sigma, seed, _, _)) in enumerate(
-                zip(ids_list, batch)):
-            n = min(len(ids), Tk)
+        temps = np.ones((B,), np.float32)
+        frames_cap = np.full((B,), self.n_frames, np.int64)
+        for b, (ids, sid, sigma, seed, nf, temp, _, _) in enumerate(batch):
+            n = len(ids)
+            if n > Tk:  # unreachable post-validation; never truncate
+                # silently — count and clamp defensively
+                self._count("text_clamped")
+                print(f"WARNING: text of {n} ids clamped to bucket {Tk}")
+                n = Tk
             text_pad[b, :n] = ids[:n]
             in_lens[b] = n
             sids[b] = int(self.frontend.speaker_ids.get(int(sid), 0))
             seeds[b] = int(seed)
             sigmas[b] = float(sigma)
+            if temp is not None:
+                temps[b] = float(temp)
+            if nf is not None:
+                frames_cap[b] = max(1, min(int(nf), self.n_frames))
         for b in range(len(batch), B):  # mesh padding: duplicate row 0
             text_pad[b], in_lens[b] = text_pad[0], in_lens[0]
             sids[b], seeds[b], sigmas[b] = sids[0], seeds[0], sigmas[0]
+            temps[b] = temps[0]
+
+        # temperature: a () scalar when uniform (keeps the fused-kernel
+        # path, whose SMEM slot is scalar), a (B, 1) vector otherwise
+        # (broadcasts inside attention_step; the fused dispatch falls
+        # back to the scan path for size>1 — see ar_step_infer)
+        if np.all(temps == temps[0]):
+            temp_arg = jnp.asarray(temps[0], jnp.float32)
+        else:
+            temp_arg = jnp.asarray(temps[:, None])
 
         # whole batch's latents in ONE device dispatch (a per-request
         # PRNGKey + normal pair costs a device round-trip each)
@@ -321,9 +533,11 @@ class SynthesisEngine:
             res = res.astype(jnp.bfloat16)
         mel, attns, n_valid = self._synth(
             self.params, res, jnp.asarray(sids),
-            jnp.asarray(text_pad), jnp.asarray(in_lens))
+            jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
         mel = np.asarray(mel, np.float32)
-        n_valid = np.asarray(n_valid)
+        # per-request n_frames: cap the emitted length (the synthesis
+        # runs the engine-fixed latent length; this trims the output)
+        n_valid = np.minimum(np.asarray(n_valid), frames_cap)
 
         audio_all = None
         if self._vocode_batch is not None:
@@ -344,7 +558,8 @@ class SynthesisEngine:
             audio_all = np.asarray(
                 self._vocode_batch(self.wg[0], m, n_samples))
 
-        for b, (text, sid, sigma, seed, slot, done) in enumerate(batch):
+        for b, (ids, sid, sigma, seed, nf, temp, slot, done) in \
+                enumerate(batch):
             n = max(1, int(n_valid[b]))
             if audio_all is not None:
                 slot["wav"] = audio_all[b, :n * 256]
@@ -420,7 +635,10 @@ def make_handler(engine):
                 text = req["text"]
                 wav, sr = engine.submit(
                     text, req.get("speaker_id", 0),
-                    req.get("sigma", 0.5), req.get("seed", 1234))
+                    req.get("sigma", 0.5), req.get("seed", 1234),
+                    n_frames=req.get("n_frames"),
+                    temperature=req.get("temperature"),
+                    split=bool(req.get("split", False)))
                 body = _wav_bytes(wav, sr)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -429,6 +647,10 @@ def make_handler(engine):
                 self.wfile.write(body)
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
+            except TextTooLong as e:
+                self._json(413, {"error": str(e)})
+            except EngineOverloaded as e:
+                self._json(429, {"error": str(e)})
             except Exception as e:
                 self._json(500, {"error": repr(e)})
 
@@ -437,17 +659,21 @@ def make_handler(engine):
             (one mel chunk + vocoder lookahead to first byte)."""
             if not engine.can_stream:
                 self._json(501, {"error": "streaming requires a "
-                                 "forward-only (n_flows=1) model and a "
-                                 "neural vocoder"})
+                                 "neural vocoder (-w)"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 gen = engine.stream(
                     req["text"], req.get("speaker_id", 0),
-                    req.get("sigma", 0.5), req.get("seed", 1234))
+                    req.get("sigma", 0.5), req.get("seed", 1234),
+                    n_frames=req.get("n_frames"),
+                    temperature=req.get("temperature"))
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
+                return
+            except TextTooLong as e:
+                self._json(413, {"error": str(e)})
                 return
             except Exception as e:
                 self._json(500, {"error": repr(e)})
@@ -483,6 +709,8 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--batch-timeout-ms", type=float, default=20.0)
     parser.add_argument("--n-frames", type=int, default=400)
+    parser.add_argument("--max-queue", type=int, default=64,
+                        help="pending-request bound; overload returns 429")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
@@ -511,7 +739,8 @@ def main(argv=None):
                              quantize=args.quantize, fused=args.fused,
                              mesh_shape=[int(x) for x in
                                          args.mesh.split(",")]
-                             if args.mesh else None, bf16=args.bf16)
+                             if args.mesh else None, bf16=args.bf16,
+                             max_queue=args.max_queue)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

@@ -70,12 +70,52 @@ class TestEngine:
         assert not np.array_equal(results[0][0], results[1][0])
 
     def test_empty_text_errors(self, engine):
-        with pytest.raises(RuntimeError, match="empty text"):
+        with pytest.raises(ValueError, match="empty text"):
             engine.submit("~~~", 0)   # cleans to symbols dropped -> empty
 
-    def test_long_text_truncated_to_bucket(self, engine):
-        wav, _ = engine.submit("word " * 50, 0)  # exceeds largest bucket
-        assert len(wav) > 0
+    def test_long_text_rejected_not_truncated(self, engine):
+        """Text past the largest bucket raises TextTooLong (-> HTTP 413)
+        instead of silently returning audio for a prefix."""
+        from flowtron_tpu.serve import TextTooLong
+        with pytest.raises(TextTooLong, match="largest bucket"):
+            engine.submit("word " * 50, 0)  # exceeds largest bucket
+        assert engine.metrics()["rejected_too_long"] >= 1
+
+    def test_long_text_split_synthesizes_all(self, engine):
+        """split=True sentence-splits server-side; segments coalesce
+        into one micro-batch and the audio is concatenated."""
+        long_text = "One two three. " * 8  # 8 sentences, 2 fit per bucket
+        wav, sr = engine.submit(long_text, 0, split=True)
+        # 4 segments x >= 1 frame (256 samples) each, concatenated
+        assert len(wav) >= 4 * 256
+
+    def test_overload_raises_429(self, engine):
+        """A full request queue rejects instead of queueing unboundedly.
+        The worker is blocked on the ORIGINAL queue object, so swapping
+        in a pre-filled one makes the test deterministic."""
+        import queue as _q
+        from flowtron_tpu.serve import EngineOverloaded
+        old = engine._queue
+        try:
+            full = _q.Queue(maxsize=1)
+            full.put_nowait(None)  # never consumed: worker reads `old`
+            engine._queue = full
+            with pytest.raises(EngineOverloaded, match="queue full"):
+                engine.submit("Hello.", 0)
+        finally:
+            engine._queue = old
+        assert engine.metrics()["rejected_overload"] >= 1
+
+
+
+def test_split_text_to_fit_packs_sentences():
+    from flowtron_tpu.serve import split_text_to_fit
+    segs = split_text_to_fit(
+        "Aa bb. Cc dd! Ee ff? Gg hh.", lambda s: len(s) <= 14)
+    assert segs == ["Aa bb. Cc dd!", "Ee ff? Gg hh."]
+    # an over-long single sentence falls back to word packing
+    segs = split_text_to_fit("aaaa bbbb cccc dddd", lambda s: len(s) <= 9)
+    assert segs == ["aaaa bbbb", "cccc dddd"]
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +140,10 @@ def stream_engine(tmp_path_factory):
                  n_lstm_layers=2, mel_encoder_n_hidden=8)
     params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
                               use_gate_layer=True, **small)
+    # non-identity coupling so controls (temperature) affect the mel
+    f = params["flows"][0]
+    f["conv"]["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                              f["conv"]["w"].shape)
     ckpt = str(root / "model")
     save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
 
@@ -161,6 +205,62 @@ class TestStreamingEngine:
         out = np.concatenate(list(stream_engine.stream("Recovered.", 0,
                                                        seed=5)))
         assert len(out) > 0
+
+    def test_stalled_consumer_releases_streamers(self, stream_engine):
+        """A consumer that stops draining (dead client socket) must not
+        pin the shared streamers: the producer aborts after
+        stream_stall_timeout and the next request proceeds."""
+        import time
+        old = stream_engine.stream_stall_timeout
+        stream_engine.stream_stall_timeout = 0.2
+        try:
+            gen = stream_engine.stream("A long enough stall sentence.",
+                                       0, seed=6)
+            next(gen)          # producer running, consumer now stalls
+            time.sleep(1.0)    # > stall timeout: producer aborts
+            out = np.concatenate(list(stream_engine.stream(
+                "After the stall.", 0, seed=7)))
+            assert len(out) > 0
+            gen.close()
+        finally:
+            stream_engine.stream_stall_timeout = old
+
+    def test_per_request_n_frames_caps_output(self, stream_engine):
+        full, _ = stream_engine.submit("Hello there again.", 0, seed=11)
+        capped, _ = stream_engine.submit("Hello there again.", 0, seed=11,
+                                         n_frames=1)
+        assert len(capped) == 256  # exactly the 1-frame cap
+        assert len(full) >= len(capped)
+
+    def test_per_request_temperature(self, stream_engine):
+        """Per-request temperature reaches the jitted synth and changes
+        the mel. (Asserted at the mel level: the fixture's zero-init
+        WaveGlow couplings are identity, so its audio ignores mel.)"""
+        seen = []
+        orig = stream_engine._synth
+
+        def probe(p, r, s, t, i, temp):
+            out = orig(p, r, s, t, i, temp)
+            seen.append((float(np.asarray(temp).max()),
+                         np.asarray(out[0])))
+            return out
+
+        stream_engine._synth = probe
+        try:
+            stream_engine.submit("Hello there.", 0, seed=12)
+            stream_engine.submit("Hello there.", 0, seed=12,
+                                 temperature=4.0)
+        finally:
+            stream_engine._synth = orig
+        (t1, m1), (t2, m2) = seen[-2:]
+        assert t1 == 1.0 and t2 == 4.0
+        assert not np.allclose(m1, m2)
+
+    def test_stream_per_request_n_frames(self, stream_engine):
+        chunks = list(stream_engine.stream("Cap the stream.", 0, seed=8,
+                                           n_frames=3))
+        wav = np.concatenate(chunks)
+        assert 256 <= len(wav) <= 3 * 256
 
 
 class TestMeshServing:
@@ -327,3 +427,87 @@ class TestHTTPEndpoints:
         assert m["requests"] >= 1 and m["batches"] >= 1
         assert m["audio_seconds"] > 0
         assert "batch_ms_p50" in m
+
+    def test_http_413_on_long_text(self, server):
+        import json
+        import urllib.error
+        for path in ("/synthesize", "/stream"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(server + path, {"text": "word " * 60})
+            assert ei.value.code == 413
+            assert "largest bucket" in json.loads(ei.value.read())["error"]
+
+    def test_http_split_long_text(self, server):
+        with self._post(server + "/synthesize",
+                        {"text": "One two three. " * 8,
+                         "split": True}) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF"
+
+    def test_http_429_on_overload(self, server, stream_engine):
+        import queue as _q
+        import urllib.error
+        old = stream_engine._queue
+        try:
+            full = _q.Queue(maxsize=1)
+            full.put_nowait(None)  # worker is blocked on `old`
+            stream_engine._queue = full
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(server + "/synthesize", {"text": "Busy."})
+            assert ei.value.code == 429
+        finally:
+            stream_engine._queue = old
+
+
+class TestTwoFlowStreaming:
+    def test_two_flow_engine_streams(self, tmp_path_factory):
+        """The flagship topology (n_flows=2) streams over HTTP-style
+        generator: gated prelude offline, forward flow chunked."""
+        import jax
+        import pickle
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.serve import SynthesisEngine
+
+        root = tmp_path_factory.mktemp("twoflow_stream")
+        rng = np.random.default_rng(0)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=12,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                  use_gate_layer=True, **small)
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+        wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
+                                 n_flows=4, n_group=8, n_early_every=2,
+                                 n_early_size=2, n_layers=3, n_channels=16)
+        with open(root / "wg.pkl", "wb") as f:
+            pickle.dump({"params": wgp, "config": wgc}, f)
+
+        from flowtron_tpu.config import load_config
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=2,
+                                      use_gate_layer=True)
+        eng = SynthesisEngine(config, ckpt,
+                              waveglow_path=str(root / "wg.pkl"),
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16,), n_frames=48)
+        assert eng.can_stream  # 2-flow + vocoder now streams
+        chunks = list(eng.stream("Hello there.", 0, seed=9))
+        wav = np.concatenate(chunks)
+        assert wav.dtype == np.int16
+        assert len(wav) >= 256 and len(wav) % 256 == 0
+        assert np.isfinite(wav.astype(np.float64)).all()
