@@ -25,6 +25,26 @@ from flowtron_tpu.text.cmudict import CMUDict
 from flowtron_tpu.text import cleaners as _cleaners_mod
 
 
+def _atomic_save_npy(path, arr):
+    """Write-then-rename so concurrent readers (multi-host loaders
+    sharing a cache dir) never observe a half-written file."""
+    tmp = f"{path}.{os.getpid()}.tmp.npy"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def _load_cached_npy(path):
+    """None on miss — or on a corrupt/partial file (pre-atomic-writer
+    caches), which is recomputed rather than crashing the loader."""
+    if not os.path.exists(path):
+        return None
+    try:
+        return np.load(path)
+    except (ValueError, EOFError, OSError):
+        return None
+
+
 def load_filepaths_and_text(filelist, split="|"):
     if isinstance(filelist, str):
         with open(filelist, encoding="utf-8") as f:
@@ -147,19 +167,18 @@ class Data:
             fname = os.path.basename(audiopath).split(".")[0]
             prior_path = os.path.join(self.prior_cache_path,
                                       f"{folder}_{fname}_prior.npy")
-            if os.path.exists(prior_path):
-                attn_prior = np.load(prior_path)
-                if attn_prior.shape == (mel_length, text_length):
-                    if self.attn_prior_threshold > 0:
-                        attn_prior = np.where(
-                            attn_prior < self.attn_prior_threshold,
-                            0.0, attn_prior)
-                    return attn_prior
+            cached = _load_cached_npy(prior_path)
+            if cached is not None and \
+                    cached.shape == (mel_length, text_length):
+                if self.attn_prior_threshold > 0:
+                    cached = np.where(cached < self.attn_prior_threshold,
+                                      0.0, cached)
+                return cached
 
         attn_prior = beta_binomial_prior(text_length, mel_length,
                                          self.betab_scaling_factor)
         if prior_path is not None:
-            np.save(prior_path, attn_prior)
+            _atomic_save_npy(prior_path, attn_prior)
         if self.attn_prior_threshold > 0:
             attn_prior = np.where(attn_prior < self.attn_prior_threshold,
                                   0.0, attn_prior)
@@ -177,10 +196,11 @@ class Data:
             return self.get_mel(audio)
         fname = audiopath.replace("/", "_").replace("\\", "_") + ".npy"
         path = os.path.join(self.mel_cache_path, fname)
-        if os.path.exists(path):
-            return np.load(path)
+        cached = _load_cached_npy(path)
+        if cached is not None:
+            return cached
         mel = self.get_mel(audio)
-        np.save(path, mel)
+        _atomic_save_npy(path, mel)
         return mel
 
     def get_speaker_id(self, speaker_id):

@@ -57,13 +57,23 @@ def _heal_interrupted_swap(path):
     checkpoint at <path>.ockpt_tmp (complete, meta.json written first)
     and/or the previous one at <path>.ockpt_old, with nothing at <path>.
     Complete the swap so a resume never silently restarts from scratch
-    while a finished checkpoint sits on disk."""
+    while a finished checkpoint sits on disk.
+
+    Race-safe across processes: on a multi-host shared filesystem every
+    process runs this at restore, so two can both see _complete(path)
+    False and race os.replace — the loser's FileNotFoundError (or
+    ENOTEMPTY against the winner's healed dir) is benign as long as the
+    path is complete afterwards."""
     if _complete(path):
         return
     for cand in (path + ".ockpt_tmp", path + ".ockpt_old"):
         if _complete(cand):
-            os.replace(cand, path)
-            return
+            try:
+                os.replace(cand, path)
+            except OSError:
+                pass  # another process won the race
+            if _complete(path):
+                return
 
 
 def is_orbax_checkpoint(path):
