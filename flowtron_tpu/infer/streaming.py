@@ -80,7 +80,12 @@ class StreamingMelSynthesizer:
     """
 
     def __init__(self, params, config, chunk_frames=40, temperature=1.0,
-                 gate_threshold=0.5, max_frames=2000):
+                 gate_threshold=0.5, max_frames=2000, fused=False):
+        """fused: route the offline prelude flows (n_flows >= 2) through
+        the VMEM-resident Pallas decoder kernel — the B=1 latency path
+        (~1.7x on the prelude dispatch); the chunked flow-0 scan keeps
+        its carry and cannot fuse. TPU only (interpret mode elsewhere);
+        per-flow fallback to lax.scan where unsupported."""
         self.params = params
         self.config = config
         self.n_flows = int(config["n_flows"])
@@ -88,6 +93,7 @@ class StreamingMelSynthesizer:
         self.temperature = float(temperature)
         self.gate_threshold = float(gate_threshold)
         self.max_frames = int(max_frames)
+        self.fused = fused
         self.n_valid = None
 
         flow0 = params["flows"][0]
@@ -115,6 +121,7 @@ class StreamingMelSynthesizer:
         if self.n_flows > 1:
             n_flows = self.n_flows
             gate_thr = self.gate_threshold
+            fused_mode = self.fused
 
             def prelude(p, residual, enc, key_mask, temperature):
                 """Flows n-1..1 of the reversed inference chain in one
@@ -129,7 +136,8 @@ class StreamingMelSynthesizer:
                         ar_back_step_infer
                     z, _, n_valid = step(
                         flow_params, z, enc, key_mask, None,
-                        temperature, gate_thr, n_valid=n_valid)
+                        temperature, gate_thr, n_valid=n_valid,
+                        fused=fused_mode)
                 if n_valid is None:
                     n_valid = jnp.full((z.shape[1],), z.shape[0],
                                        jnp.int32)

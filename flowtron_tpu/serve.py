@@ -230,7 +230,9 @@ class SynthesisEngine:
                 StreamingMelSynthesizer(self.params, self.static_cfg,
                                         chunk_frames=40,
                                         gate_threshold=0.5,
-                                        max_frames=n_frames),
+                                        max_frames=n_frames,
+                                        fused="early" if fused
+                                        else False),
                 StreamingVocoder(wg_params, wg_cfg,
                                  jax.random.PRNGKey(0), sigma=0.8,
                                  dtype=jnp.bfloat16 if bf16

@@ -263,6 +263,49 @@ class TestStreamingEngine:
         assert 256 <= len(wav) <= 3 * 256
 
 
+class TestFusedServing:
+    def test_fused_engine_synthesize(self, tmp_path_factory):
+        """--fused engines dispatch the Pallas decoder (interpret mode
+        off-TPU) and must still serve; with --mesh it is auto-disabled
+        (incompatible: VMEM-resident kernel vs TP-sharded weights)."""
+        import jax
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.serve import SynthesisEngine
+
+        root = tmp_path_factory.mktemp("fused_serve")
+        rng = np.random.default_rng(0)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=16,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                  use_gate_layer=True, **small)
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+
+        from flowtron_tpu.config import load_config
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=2,
+                                      use_gate_layer=True)
+        eng = SynthesisEngine(config, ckpt, max_batch=2,
+                              batch_timeout_ms=20, text_buckets=(16,),
+                              n_frames=4, fused=True)
+        wav, sr = eng.submit("Hi.", 0)
+        assert len(wav) > 0 and np.isfinite(wav.astype(np.float64)).all()
+
+
 class TestMeshServing:
     def test_tp_mesh_engine(self, tmp_path_factory):
         """Engine on a (2 data x 4 model) mesh: weights TP-sharded,

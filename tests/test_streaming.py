@@ -142,6 +142,37 @@ class TestMelStreaming:
                 streamed[b, :, :nb], np.asarray(mel_full)[b, :, :nb],
                 atol=1e-5)
 
+    def test_two_flow_fused_prelude_matches_scan(self):
+        """fused=True routes the offline prelude through the Pallas
+        kernel (interpret mode off-TPU); emitted mel must match the
+        scan-prelude stream."""
+        params, config = flowtron_init(jax.random.PRNGKey(5), n_flows=2,
+                                       use_gate_layer=True, **SMALL)
+        for f in params["flows"]:
+            f["conv"]["w"] = 0.05 * jax.random.normal(
+                jax.random.PRNGKey(6), f["conv"]["w"].shape)
+        rng = np.random.default_rng(10)
+        B, N = 1, 32
+        residual = jnp.asarray(
+            (rng.standard_normal((B, 8, N)) * 0.6).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 185, (B, 6)))
+        sids = jnp.zeros((B,), jnp.int32)
+
+        def run(fused):
+            s = StreamingMelSynthesizer(params, config, chunk_frames=16,
+                                        gate_threshold=0.35,
+                                        max_frames=N, fused=fused)
+            out = np.concatenate(
+                [np.asarray(c) for c in s.stream(
+                    jax.random.PRNGKey(0), sids, text,
+                    residual=residual)], axis=2)
+            return out, s.n_valid.copy()
+
+        scan_mel, scan_nv = run(False)
+        fused_mel, fused_nv = run(True)
+        np.testing.assert_array_equal(scan_nv, fused_nv)
+        np.testing.assert_allclose(fused_mel, scan_mel, atol=1e-4)
+
     def test_temperature_and_max_frames_per_call(self, model1):
         """Per-call temperature is a traced scalar (no recompile per
         value) and max_frames caps the emitted length."""
