@@ -16,6 +16,10 @@ POST /synthesize  {"text": "...", "speaker_id": 0, "sigma": 0.5,
 POST /stream      same body -> chunked-transfer audio/wav: bytes flow
                   as synthesis runs (any n_flows + vocoder;
                   see infer/streaming.py)
+GET /stream-ws    WebSocket (RFC 6455): send one text frame with the
+                  same JSON body; receive {"sample_rate","format"} then
+                  binary PCM16 frames, then close. Errors are framed
+                  JSON instead of a dropped chunked response.
 GET /healthz      -> {"status": "ok", "queue_depth": N}
 GET /metrics      -> request/batch/error/rejection counters, synthesized
                   audio seconds, recent batch-latency percentiles
@@ -103,7 +107,8 @@ class SynthesisEngine:
                  max_batch=8, batch_timeout_ms=20.0, text_buckets=(64, 128),
                  n_frames=400, int8=False, quantize="", fused=False,
                  mesh_shape=None, bf16=False, max_queue=64,
-                 stream_stall_timeout=30.0):
+                 stream_stall_timeout=30.0, stream_workers=2,
+                 stream_acquire_timeout=5.0):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -117,6 +122,7 @@ class SynthesisEngine:
         self.batch_timeout = batch_timeout_ms / 1000.0
         self.text_buckets = sorted(text_buckets)
         self.stream_stall_timeout = float(stream_stall_timeout)
+        self.stream_acquire_timeout = float(stream_acquire_timeout)
 
         if mesh_shape and fused:
             # the fused Pallas decoder assumes whole weights in one
@@ -216,27 +222,31 @@ class SynthesisEngine:
 
         # streaming path: neural vocoder required. Any n_flows streams
         # (multi-flow models run the gated prelude offline — see
-        # infer/streaming.py). One warm streamer pair reused across
-        # requests; the lock serializes PRODUCTION only — chunks cross
-        # to the HTTP handler through a bounded queue so a stalled
-        # client cannot pin the streamers (stream_stall_timeout).
-        self._streamers = None
-        self._stream_lock = threading.Lock()
+        # infer/streaming.py). A POOL of warm streamer pairs allows
+        # `stream_workers` concurrent streams (beyond that, requests
+        # wait for a free pair, then EngineOverloaded); instances after
+        # the first reuse the persistent XLA compile cache, so the pool
+        # costs tracing only. Chunks cross to the HTTP handler through
+        # a bounded queue so a stalled client cannot pin a pair
+        # (stream_stall_timeout).
+        self._stream_pool = None
         if self.wg is not None:
             from flowtron_tpu.infer.streaming import (
                 StreamingMelSynthesizer, StreamingVocoder)
             wg_params, wg_cfg = self.wg
-            self._streamers = (
-                StreamingMelSynthesizer(self.params, self.static_cfg,
-                                        chunk_frames=40,
-                                        gate_threshold=0.5,
-                                        max_frames=n_frames,
-                                        fused="early" if fused
-                                        else False),
-                StreamingVocoder(wg_params, wg_cfg,
-                                 jax.random.PRNGKey(0), sigma=0.8,
-                                 dtype=jnp.bfloat16 if bf16
-                                 else jnp.float32))
+            self._stream_pool = queue.Queue()
+            for _ in range(max(1, int(stream_workers))):
+                self._stream_pool.put((
+                    StreamingMelSynthesizer(self.params, self.static_cfg,
+                                            chunk_frames=40,
+                                            gate_threshold=0.5,
+                                            max_frames=n_frames,
+                                            fused="early" if fused
+                                            else False),
+                    StreamingVocoder(wg_params, wg_cfg,
+                                     jax.random.PRNGKey(0), sigma=0.8,
+                                     dtype=jnp.bfloat16 if bf16
+                                     else jnp.float32)))
 
         # serving metrics (GET /metrics): counters + recent batch
         # latencies, updated by the batching worker
@@ -258,7 +268,7 @@ class SynthesisEngine:
 
     @property
     def can_stream(self):
-        return self._streamers is not None
+        return self._stream_pool is not None
 
     def _text_to_ids(self, text):
         """Frontend + validation shared by both entry points. Raises
@@ -282,7 +292,7 @@ class SynthesisEngine:
         Validation runs eagerly (not at first next()) so HTTP callers
         can still return 4xx/5xx before committing to a 200 + chunked
         response."""
-        if self._streamers is None:
+        if self._stream_pool is None:
             raise RuntimeError(
                 "streaming requires a neural vocoder (-w)")
         ids = self._text_to_ids(text)
@@ -291,16 +301,27 @@ class SynthesisEngine:
         n = len(ids)
         text_pad[0, :n] = np.asarray(ids)
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
+        # EAGER pool checkout: overload surfaces here as 429, before
+        # the caller commits to a 200 + chunked response
+        try:
+            pair = self._stream_pool.get(
+                timeout=self.stream_acquire_timeout)
+        except queue.Empty:
+            self._count("rejected_overload")
+            raise EngineOverloaded(
+                "all streaming workers busy; retry later")
         self._count("stream_requests")
-        return self._stream_gen(text_pad, n, sid, sigma, seed,
+        return self._stream_gen(pair, text_pad, n, sid, sigma, seed,
                                 n_frames, temperature)
 
-    def _stream_gen(self, text_pad, n, sid, sigma, seed, n_frames,
+    def _stream_gen(self, pair, text_pad, n, sid, sigma, seed, n_frames,
                     temperature):
-        """Producer thread owns the streamer lock; chunks cross to the
-        caller through a bounded queue. A consumer that stalls longer
-        than stream_stall_timeout (dead client socket) aborts the
-        stream and releases the streamers instead of pinning them."""
+        """The producer thread owns the checked-out streamer pair;
+        chunks cross to the caller through a bounded queue. The thread
+        starts EAGERLY (not at first next()), so the pair always returns
+        to the pool even if the generator is dropped unconsumed; a
+        consumer that stalls longer than stream_stall_timeout (dead
+        client socket) aborts the stream instead of pinning the pair."""
         from flowtron_tpu.infer.streaming import pump_stream
         jnp = self.jnp
         out_q = queue.Queue(maxsize=4)
@@ -309,33 +330,30 @@ class SynthesisEngine:
         def produce():
             err = None
             try:
-                with self._stream_lock:
+                mel_s, voc = pair
+                k_mel, k_voc = self.jax.random.split(
+                    self.jax.random.PRNGKey(int(seed)))
+                voc.reset(k_voc)
+                for audio in pump_stream(
+                        mel_s, voc, k_mel, jnp.asarray([sid]),
+                        jnp.asarray(text_pad), sigma=float(sigma),
+                        in_lens=jnp.asarray([n]),
+                        temperature=temperature,
+                        max_frames=n_frames):
                     if cancel.is_set():
                         return
-                    mel_s, voc = self._streamers
-                    k_mel, k_voc = self.jax.random.split(
-                        self.jax.random.PRNGKey(int(seed)))
-                    voc.reset(k_voc)
-                    for audio in pump_stream(
-                            mel_s, voc, k_mel, jnp.asarray([sid]),
-                            jnp.asarray(text_pad), sigma=float(sigma),
-                            in_lens=jnp.asarray([n]),
-                            temperature=temperature,
-                            max_frames=n_frames):
-                        if cancel.is_set():
-                            return
-                        chunk = np.clip(audio[0], -1.0, 1.0)
-                        pcm = (chunk * 32767).astype(np.int16)
-                        try:
-                            out_q.put(pcm,
-                                      timeout=self.stream_stall_timeout)
-                        except queue.Full:
-                            self._count("stream_stalls")
-                            return
+                    chunk = np.clip(audio[0], -1.0, 1.0)
+                    pcm = (chunk * 32767).astype(np.int16)
+                    try:
+                        out_q.put(pcm,
+                                  timeout=self.stream_stall_timeout)
+                    except queue.Full:
+                        self._count("stream_stalls")
+                        return
             except Exception as e:  # surfaced to the consumer
                 err = e
             finally:
-                # lock is released by now (with-block exited above)
+                self._stream_pool.put(pair)
                 try:
                     out_q.put(err, timeout=5)
                 except queue.Full:
@@ -343,30 +361,34 @@ class SynthesisEngine:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        try:
-            while True:
-                try:
-                    item = out_q.get(timeout=1.0)
-                except queue.Empty:
-                    # sentinel can be lost when a stall-aborted producer
-                    # finds the queue still full; fall back to liveness
-                    if not t.is_alive():
+
+        def consume():
+            try:
+                while True:
+                    try:
+                        item = out_q.get(timeout=1.0)
+                    except queue.Empty:
+                        # sentinel can be lost when a stall-aborted
+                        # producer finds the queue full; liveness check
+                        if not t.is_alive():
+                            break
+                        continue
+                    if item is None:
                         break
-                    continue
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            cancel.set()
-            # drain so a producer blocked on put() can observe cancel
-            # and release the streamer lock
-            while t.is_alive():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    time.sleep(0.005)
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                cancel.set()
+                # drain so a producer blocked on put() can observe
+                # cancel and return the pair
+                while t.is_alive():
+                    try:
+                        out_q.get_nowait()
+                    except queue.Empty:
+                        time.sleep(0.005)
+
+        return consume()
 
     # -- request path -----------------------------------------------------
     def submit(self, text, speaker_id=0, sigma=0.5, seed=1234,
@@ -598,6 +620,55 @@ def _wav_stream_header(sr):
             b"data" + struct.pack("<I", 0xFFFFFFFF))
 
 
+# -- minimal RFC 6455 WebSocket framing (stdlib only) -----------------------
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(key):
+    import base64
+    import hashlib
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def _ws_send(wfile, payload, opcode):
+    """One unmasked server->client frame (FIN set). opcode: 1 text,
+    2 binary, 8 close."""
+    import struct
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    wfile.write(head + payload)
+    wfile.flush()
+
+
+def _ws_recv(rfile):
+    """One client->server frame -> (opcode, payload). Client frames are
+    masked per RFC 6455; unmask. Returns (None, b'') on EOF."""
+    import struct
+    h = rfile.read(2)
+    if len(h) < 2:
+        return None, b""
+    opcode = h[0] & 0x0F
+    masked = h[1] & 0x80
+    n = h[1] & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", rfile.read(2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", rfile.read(8))[0]
+    mask = rfile.read(4) if masked else b"\x00" * 4
+    data = rfile.read(n)
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
 def make_handler(engine):
     from http.server import BaseHTTPRequestHandler
 
@@ -621,8 +692,72 @@ def make_handler(engine):
                                  "queue_depth": engine.queue_depth})
             elif self.path == "/metrics":
                 self._json(200, engine.metrics())
+            elif self.path == "/stream-ws":
+                self._do_stream_ws()
             else:
                 self._json(404, {"error": "not found"})
+
+        def _do_stream_ws(self):
+            """WebSocket streaming transport (RFC 6455, stdlib framing):
+            client upgrades, sends ONE text frame with the /stream JSON
+            body, receives a text frame {"sample_rate", "format"}, then
+            binary frames of raw PCM16 mono, then a close frame. Errors
+            arrive as a text frame {"error": ...} before close — framed
+            and typed, unlike chunked WAV where an early disconnect is
+            the only error signal."""
+            key = self.headers.get("Sec-WebSocket-Key")
+            if self.headers.get("Upgrade", "").lower() != "websocket" \
+                    or not key:
+                self._json(400, {"error": "expected websocket upgrade"})
+                return
+            if not engine.can_stream:
+                self._json(501, {"error": "streaming requires a "
+                                 "neural vocoder (-w)"})
+                return
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+            self.end_headers()
+            self.close_connection = True
+
+            def text(obj):
+                _ws_send(self.wfile, json.dumps(obj).encode(), 1)
+
+            gen = None
+            try:
+                opcode, payload = _ws_recv(self.rfile)
+                if opcode != 1:  # expected one text frame with the req
+                    text({"error": "expected a text frame with the "
+                          "request JSON"})
+                    _ws_send(self.wfile, b"\x03\xe8", 8)
+                    return
+                req = json.loads(payload or b"{}")
+                gen = engine.stream(
+                    req["text"], req.get("speaker_id", 0),
+                    req.get("sigma", 0.5), req.get("seed", 1234),
+                    n_frames=req.get("n_frames"),
+                    temperature=req.get("temperature"))
+                sr = engine.data_config["sampling_rate"]
+                text({"sample_rate": sr, "format": "pcm16"})
+                for pcm in gen:
+                    if len(pcm):
+                        _ws_send(self.wfile, pcm.tobytes(), 2)
+                _ws_send(self.wfile, b"\x03\xe8", 8)  # close 1000
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
+            except KeyError as e:
+                text({"error": f"missing field {e}"})
+                _ws_send(self.wfile, b"\x03\xe8", 8)
+            except Exception as e:
+                try:
+                    text({"error": str(e)})
+                    _ws_send(self.wfile, b"\x03\xe8", 8)
+                except OSError:
+                    pass
+            finally:
+                if gen is not None:
+                    gen.close()  # release the streamers
 
         def do_POST(self):
             if self.path == "/stream":
@@ -677,6 +812,9 @@ def make_handler(engine):
             except TextTooLong as e:
                 self._json(413, {"error": str(e)})
                 return
+            except EngineOverloaded as e:
+                self._json(429, {"error": str(e)})
+                return
             except Exception as e:
                 self._json(500, {"error": repr(e)})
                 return
@@ -713,6 +851,10 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=400)
     parser.add_argument("--max-queue", type=int, default=64,
                         help="pending-request bound; overload returns 429")
+    parser.add_argument("--stream-workers", type=int, default=2,
+                        help="concurrent /stream(-ws) capacity (warm "
+                             "streamer pairs; extra pairs reuse the "
+                             "persistent compile cache)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
@@ -742,7 +884,8 @@ def main(argv=None):
                              mesh_shape=[int(x) for x in
                                          args.mesh.split(",")]
                              if args.mesh else None, bf16=args.bf16,
-                             max_queue=args.max_queue)
+                             max_queue=args.max_queue,
+                             stream_workers=args.stream_workers)
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),

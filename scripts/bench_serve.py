@@ -74,11 +74,16 @@ def main():
                              text_buckets=(64,), n_frames=400, bf16=True)
 
     texts = [
-        "The quick brown fox jumps over the lazy dog near the river bank.",
-        "Speech synthesis on tensor processing units is remarkably fast.",
-        "A different sentence keeps the text frontend honest every time.",
-        "Numbers like 1234 and dates like March 3rd get normalized too.",
+        "The quick brown fox jumps over the lazy dog by the river.",
+        "Speech synthesis on tensor processing units is very fast.",
+        "A different sentence keeps the text frontend honest here.",
+        "Numbers like 42 and dates like March 3rd normalize too.",
     ]
+    # round-3 hardening rejects text past the largest bucket (no more
+    # silent truncation) — fail fast if a benchmark text would 413
+    for t in texts:
+        n = len(engine.frontend.get_text(t))
+        assert n <= max(engine.text_buckets), (t, n)
 
     def run_pass(label):
         lat = []

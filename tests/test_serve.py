@@ -256,6 +256,91 @@ class TestStreamingEngine:
         assert t1 == 1.0 and t2 == 4.0
         assert not np.allclose(m1, m2)
 
+    def test_concurrent_streams_via_pool(self, stream_engine):
+        """With the streamer pool (default 2 pairs), a second stream
+        completes WHILE the first is still open — the old single-pair
+        lock serialized them."""
+        gen_a = stream_engine.stream("First concurrent stream.", 0,
+                                     seed=20)
+        next(gen_a)  # A holds a pair mid-stream
+        try:
+            out_b = np.concatenate(list(stream_engine.stream(
+                "Second concurrent stream.", 0, seed=21)))
+            assert len(out_b) > 0
+        finally:
+            gen_a.close()
+        # pool fully restored: two more sequential streams succeed
+        for seed in (22, 23):
+            out = np.concatenate(list(stream_engine.stream(
+                "Pool restored.", 0, seed=seed)))
+            assert len(out) > 0
+
+    def test_stream_pool_exhaustion_raises_overloaded(self,
+                                                      tmp_path_factory):
+        """stream_workers=1: a second stream while one is open must
+        fail fast with EngineOverloaded (-> HTTP 429), not block the
+        handler forever."""
+        import jax
+        import pickle
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.serve import SynthesisEngine, EngineOverloaded
+
+        root = tmp_path_factory.mktemp("pool1")
+        rng = np.random.default_rng(0)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=12,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=1,
+                                  use_gate_layer=True, **small)
+        import jax.numpy as jnp
+        # gate never fires: stream A must still be mid-utterance (its
+        # producer blocked on the full hand-off queue, pair held) when
+        # stream B asks for a worker
+        params["flows"][0]["gate_layer"]["b"] = jnp.asarray([-50.0])
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+        wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
+                                 n_flows=4, n_group=8, n_early_every=2,
+                                 n_early_size=2, n_layers=3,
+                                 n_channels=16)
+        with open(root / "wg.pkl", "wb") as f:
+            pickle.dump({"params": wgp, "config": wgc}, f)
+        from flowtron_tpu.config import load_config
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=1,
+                                      use_gate_layer=True)
+        eng = SynthesisEngine(config, ckpt,
+                              waveglow_path=str(root / "wg.pkl"),
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16,), n_frames=400,
+                              stream_workers=1,
+                              stream_stall_timeout=30.0,
+                              stream_acquire_timeout=0.5)
+        gen_a = eng.stream("Hold me please.", 0, seed=1)
+        next(gen_a)
+        try:
+            with pytest.raises(EngineOverloaded, match="workers busy"):
+                eng.stream("No worker free.", 0, seed=2)
+        finally:
+            gen_a.close()
+        # pair returned after close: streaming works again
+        out = np.concatenate(list(eng.stream("Free again.", 0, seed=3)))
+        assert len(out) > 0
+
     def test_stream_per_request_n_frames(self, stream_engine):
         chunks = list(stream_engine.stream("Cap the stream.", 0, seed=8,
                                            n_frames=3))
@@ -486,6 +571,87 @@ class TestHTTPEndpoints:
                          "split": True}) as r:
             body = r.read()
         assert body[:4] == b"RIFF"
+
+    # -- WebSocket transport (hand-rolled RFC 6455 client) -------------
+    def _ws_connect(self, server, body):
+        import base64
+        import json as _json
+        import socket
+        import struct
+        from urllib.parse import urlparse
+        u = urlparse(server)
+        s = socket.create_connection((u.hostname, u.port), timeout=300)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        s.sendall((f"GET /stream-ws HTTP/1.1\r\nHost: {u.hostname}\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        f = s.makefile("rb")
+        status = f.readline()
+        assert b"101" in status, status
+        while f.readline() not in (b"\r\n", b""):
+            pass
+
+        def send_text(obj):
+            payload = _json.dumps(obj).encode()
+            mask = b"\x01\x02\x03\x04"
+            masked = bytes(b ^ mask[i % 4]
+                           for i, b in enumerate(payload))
+            n = len(payload)
+            head = b"\x81"  # FIN + text
+            if n < 126:
+                head += bytes([0x80 | n])
+            else:
+                head += bytes([0x80 | 126]) + struct.pack(">H", n)
+            s.sendall(head + mask + masked)
+
+        def recv():
+            h = f.read(2)
+            if len(h) < 2:
+                return None, b""
+            op, n = h[0] & 0x0F, h[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", f.read(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", f.read(8))[0]
+            return op, f.read(n)
+
+        send_text(body)
+        return s, recv
+
+    def test_websocket_stream(self, server):
+        import json
+        s, recv = self._ws_connect(server, {"text": "Hello websocket.",
+                                            "seed": 5})
+        try:
+            op, meta = recv()
+            assert op == 1
+            meta = json.loads(meta)
+            assert meta["sample_rate"] == 22050
+            assert meta["format"] == "pcm16"
+            pcm = b""
+            while True:
+                op, data = recv()
+                if op in (None, 8):  # close
+                    break
+                assert op == 2
+                pcm += data
+            wav = np.frombuffer(pcm, np.int16)
+            assert len(wav) > 0 and len(wav) % 256 == 0
+        finally:
+            s.close()
+
+    def test_websocket_error_is_framed_json(self, server):
+        import json
+        s, recv = self._ws_connect(server, {"text": "~~~"})
+        try:
+            op, payload = recv()
+            assert op == 1
+            assert "empty text" in json.loads(payload)["error"]
+            op, _ = recv()
+            assert op in (None, 8)
+        finally:
+            s.close()
 
     def test_http_429_on_overload(self, server, stream_engine):
         import queue as _q
