@@ -27,8 +27,11 @@ from flowtron_tpu.text import cleaners as _cleaners_mod
 
 def _atomic_save_npy(path, arr):
     """Write-then-rename so concurrent readers (multi-host loaders
-    sharing a cache dir) never observe a half-written file."""
-    tmp = f"{path}.{os.getpid()}.tmp.npy"
+    sharing a cache dir) never observe a half-written file. The tmp
+    suffix includes a uuid, not just the pid — pids are per-host and
+    can collide between hosts sharing the dir."""
+    import uuid
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npy"
     with open(tmp, "wb") as f:
         np.save(f, arr)
     os.replace(tmp, path)

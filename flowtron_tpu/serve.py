@@ -63,40 +63,47 @@ class EngineOverloaded(RuntimeError):
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
 
 
-def split_text_to_fit(text, fits):
-    """Split text into segments for which fits(segment) is True.
+def split_measured(text, measure, max_ids):
+    """Split text into [(segment, ids)] with len(ids) <= max_ids.
 
-    Splits at sentence boundaries first, then packs consecutive
-    sentences greedily; a single over-long sentence falls back to
-    word-boundary splitting. Raises TextTooLong (via fits's measurer)
-    only if a single word exceeds the budget.
+    `measure(segment) -> ids` may be STOCHASTIC (the frontend's
+    per-word ARPAbet coin flip at 0 < p_arpabet < 1), so each final
+    segment is measured exactly once and those ids are what the caller
+    must enqueue — re-measuring could re-roll over the budget. Packing
+    uses per-sentence counts measured once (O(n) frontend work, not
+    O(n^2) over growing candidates); a packed segment that still
+    over-measures (join effects / re-rolls) is bisected at word
+    boundaries. Raises TextTooLong only when a single word exceeds the
+    budget.
     """
+    pieces = []
+
+    def emit(seg):
+        ids = measure(seg)
+        if len(ids) == 0:
+            return
+        if len(ids) <= max_ids:
+            pieces.append((seg, ids))
+            return
+        words = seg.split()
+        if len(words) <= 1:
+            raise TextTooLong(len(ids), max_ids)
+        mid = len(words) // 2
+        emit(" ".join(words[:mid]))
+        emit(" ".join(words[mid:]))
+
     sentences = [s for s in _SENTENCE_SPLIT.split(text.strip()) if s]
-    segments = []
-    cur = ""
-    for s in sentences:
-        cand = (cur + " " + s).strip()
-        if fits(cand):
-            cur = cand
-            continue
-        if cur:
-            segments.append(cur)
-        if fits(s):
-            cur = s
-            continue
-        # single over-long sentence: pack words
-        cur = ""
-        for w in s.split():
-            cand = (cur + " " + w).strip()
-            if fits(cand):
-                cur = cand
-            else:
-                if cur:
-                    segments.append(cur)
-                cur = w
+    units = [(s, len(measure(s))) for s in sentences]
+    cur, cur_n = [], 0
+    for s, n in units:
+        if cur and cur_n + 1 + n > max_ids:
+            emit(" ".join(cur))
+            cur, cur_n = [], 0
+        cur_n += (1 if cur else 0) + n
+        cur.append(s)
     if cur:
-        segments.append(cur)
-    return segments
+        emit(" ".join(cur))
+    return pieces
 
 
 class SynthesisEngine:
@@ -272,12 +279,13 @@ class SynthesisEngine:
 
     def _text_to_ids(self, text):
         """Frontend + validation shared by both entry points. Raises
-        ValueError on empty text, TextTooLong past the largest bucket."""
+        ValueError on empty text, TextTooLong past the largest bucket
+        (callers count rejected_too_long only where the error actually
+        propagates — a split=True recovery is not a rejection)."""
         ids = self.frontend.get_text(text)
         if len(ids) == 0:
             raise ValueError("empty text after cleaning")
         if len(ids) > self.text_buckets[-1]:
-            self._count("rejected_too_long")
             raise TextTooLong(len(ids), self.text_buckets[-1])
         return ids
 
@@ -295,7 +303,16 @@ class SynthesisEngine:
         if self._stream_pool is None:
             raise RuntimeError(
                 "streaming requires a neural vocoder (-w)")
-        ids = self._text_to_ids(text)
+        if n_frames is not None:  # same clamp as the batch path; a
+            # non-int raises here, before the 200 header is committed
+            n_frames = max(1, min(int(n_frames), self.n_frames))
+        if temperature is not None:
+            temperature = float(temperature)
+        try:
+            ids = self._text_to_ids(text)
+        except TextTooLong:
+            self._count("rejected_too_long")
+            raise
         Tk = self._bucket(len(ids))
         text_pad = np.zeros((1, Tk), np.int64)
         n = len(ids)
@@ -406,21 +423,14 @@ class SynthesisEngine:
             pieces = [(text, ids)]
         except TextTooLong:
             if not split:
+                self._count("rejected_too_long")
                 raise
-            max_ids = self.text_buckets[-1]
-
-            def fits(seg):
-                return len(self.frontend.get_text(seg)) <= max_ids
-
-            segs = split_text_to_fit(text, fits)
-            pieces = []
-            for s in segs:
-                sids_ = self.frontend.get_text(s)
-                if len(sids_) == 0:
-                    continue
-                if len(sids_) > max_ids:  # a single over-long word
-                    raise TextTooLong(len(sids_), max_ids)
-                pieces.append((s, sids_))
+            try:
+                pieces = split_measured(text, self.frontend.get_text,
+                                        self.text_buckets[-1])
+            except TextTooLong:
+                self._count("rejected_too_long")  # a single huge word
+                raise
             if not pieces:
                 raise ValueError("empty text after cleaning")
 
@@ -434,9 +444,10 @@ class SynthesisEngine:
                 self._queue.put_nowait(item)
             except queue.Full:
                 self._count("rejected_overload")
-                # release any already-queued segments' waiters
-                for s, d in slots:
-                    s["error"] = "overloaded"
+                # already-queued segments have no waiter: mark them so
+                # the worker skips their (discarded) synthesis
+                for s, _d in slots:
+                    s["cancelled"] = True
                 raise EngineOverloaded(
                     f"request queue full ({self._queue.maxsize}); "
                     "retry later")
@@ -503,6 +514,12 @@ class SynthesisEngine:
 
     def _run_batch(self, batch):
         jnp = self.jnp
+
+        # drop segments whose submit aborted mid-split (overload):
+        # nobody waits on them; don't spend device time
+        batch = [item for item in batch if not item[-2].get("cancelled")]
+        if not batch:
+            return
 
         Tk = self._bucket(max(len(ids) for ids, *_ in batch))
         # bucket the batch dim to a power of two (bounded set of
@@ -648,9 +665,14 @@ def _ws_send(wfile, payload, opcode):
     wfile.flush()
 
 
+_WS_MAX_FRAME = 1 << 20  # the only inbound payload is a small JSON body
+
+
 def _ws_recv(rfile):
     """One client->server frame -> (opcode, payload). Client frames are
-    masked per RFC 6455; unmask. Returns (None, b'') on EOF."""
+    masked per RFC 6455; unmask. Returns (None, b'') on EOF or on a
+    frame larger than _WS_MAX_FRAME (a client-supplied 64-bit length
+    must not drive an unbounded read/allocation)."""
     import struct
     h = rfile.read(2)
     if len(h) < 2:
@@ -662,6 +684,8 @@ def _ws_recv(rfile):
         n = struct.unpack(">H", rfile.read(2))[0]
     elif n == 127:
         n = struct.unpack(">Q", rfile.read(8))[0]
+    if n > _WS_MAX_FRAME:
+        return None, b""
     mask = rfile.read(4) if masked else b"\x00" * 4
     data = rfile.read(n)
     if masked:

@@ -162,7 +162,12 @@ def main():
     grain_dc = dict(data_config, use_grain=True)
     grain_losses, *_ = run_steps(grain_dc, 2, params, opt_state)
     result["grain_losses"] = grain_losses
-    result["mel_cache_files"] = len(os.listdir(data_config["mel_cache_path"]))
+    # both processes done loading before counting; exclude any .tmp.npy
+    # a peer's atomic writer might still hold
+    coord_barrier("test_cache_count", 120)
+    result["mel_cache_files"] = len(
+        [f for f in os.listdir(data_config["mel_cache_path"])
+         if not f.endswith(".tmp.npy")])
 
     out = os.path.join(wd, f"result_{args.nproc}proc_{args.pid}.json")
     with open(out + ".tmp", "w") as f:

@@ -108,14 +108,37 @@ class TestEngine:
 
 
 
-def test_split_text_to_fit_packs_sentences():
-    from flowtron_tpu.serve import split_text_to_fit
-    segs = split_text_to_fit(
-        "Aa bb. Cc dd! Ee ff? Gg hh.", lambda s: len(s) <= 14)
-    assert segs == ["Aa bb. Cc dd!", "Ee ff? Gg hh."]
-    # an over-long single sentence falls back to word packing
-    segs = split_text_to_fit("aaaa bbbb cccc dddd", lambda s: len(s) <= 9)
-    assert segs == ["aaaa bbbb", "cccc dddd"]
+def test_split_measured_packs_sentences():
+    from flowtron_tpu.serve import split_measured, TextTooLong
+
+    def measure(s):
+        return list(s)  # one id per char, deterministic
+
+    segs = split_measured("Aa bb. Cc dd! Ee ff? Gg hh.", measure, 14)
+    assert [s for s, _ in segs] == ["Aa bb. Cc dd!", "Ee ff? Gg hh."]
+    assert all(len(ids) <= 14 for _, ids in segs)
+    # an over-long single sentence falls back to word bisection
+    segs = split_measured("aaaa bbbb cccc dddd", measure, 9)
+    assert [s for s, _ in segs] == ["aaaa bbbb", "cccc dddd"]
+    # a single over-long word cannot fit any bucket
+    with pytest.raises(TextTooLong):
+        split_measured("superlongword", measure, 5)
+
+
+def test_split_measured_stochastic_measure_never_overflows():
+    """The frontend is stochastic at 0<p_arpabet<1: segments must use
+    the ids they were measured with, and every returned piece fits."""
+    from flowtron_tpu.serve import split_measured
+    rng = np.random.default_rng(0)
+
+    def measure(s):  # random per-call inflation, like arpabet rolls
+        return list(s) + [0] * rng.integers(0, 4)
+
+    text = ". ".join(["word one two", "three four five", "six seven",
+                      "eight nine ten"] * 3) + "."
+    for _ in range(10):
+        for seg, ids in split_measured(text, measure, 20):
+            assert len(ids) <= 20, (seg, len(ids))
 
 
 @pytest.fixture(scope="module")
