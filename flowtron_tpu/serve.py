@@ -164,9 +164,8 @@ class SynthesisEngine:
                              **data_kwargs(data_config))
 
         self.wg = None
-        self._vocode_batch = None
         if waveglow_path:
-            from flowtron_tpu.vocoder import load_waveglow, waveglow_infer
+            from flowtron_tpu.vocoder import load_waveglow
             self.wg = load_waveglow(waveglow_path)
             if bf16:
                 wgp, wgc = self.wg
@@ -174,25 +173,6 @@ class SynthesisEngine:
                     lambda x: x.astype(jnp.bfloat16)
                     if hasattr(x, "dtype") and x.dtype == jnp.float32
                     else x, wgp), wgc)
-            _wg_cfg = self.wg[1]
-
-            # jitted batched vocode: WITHOUT jit this is hundreds of
-            # eager dispatches per request (~seconds each over a remote
-            # device); batching amortizes one dispatch across the whole
-            # micro-batch, and peak-normalization + int16 on device
-            # halves the device->host audio transfer
-            def vocode(p, m, n_samples):
-                audio = waveglow_infer(p, _wg_cfg, m,
-                                       sigma=0.8).astype(jnp.float32)
-                valid = (jnp.arange(audio.shape[1])[None, :]
-                         < n_samples[:, None])
-                peak = jnp.max(jnp.abs(audio) * valid, axis=1,
-                               keepdims=True)
-                out = audio / jnp.maximum(peak, 1e-8) * valid
-                return jnp.clip(out * 32767.0, -32767, 32767
-                                ).astype(jnp.int16)
-
-            self._vocode_batch = jax.jit(vocode)
 
         def synth(params, residual, sids, text, in_lens, temperature):
             return flowtron_infer(params, self.static_cfg, residual, sids,
@@ -205,9 +185,53 @@ class SynthesisEngine:
         # to the per-request PRNGKey(int(seed)) this replaced — PRNGKey
         # keeps only the low 32 bits under default x64-disabled JAX, and
         # two's-complement preserves that bit pattern (verified).
-        self._sample_z = jax.jit(lambda seeds, sigmas: jax.vmap(
-            lambda s, sg: sg * jax.random.normal(
-                jax.random.PRNGKey(s), _zshape))(seeds, sigmas))
+        def sample_z(seeds, sigmas):
+            return jax.vmap(
+                lambda s, sg: sg * jax.random.normal(
+                    jax.random.PRNGKey(s), _zshape))(seeds, sigmas)
+
+        self._sample_z = jax.jit(sample_z)
+
+        # whole request chain — latents -> AR mel -> gate masking ->
+        # vocoder -> peak-normalized int16 — as ONE device dispatch: the
+        # old path paid three tunnel round-trips per micro-batch
+        # (sample_z, synth, then a HOST n_valid fetch to bucket mels for
+        # vocode). Vocoding runs at the fixed n_frames length (frames
+        # past each stream's gate are silenced on device), trading a
+        # little compute on short utterances for one program, no
+        # host-sync, and no per-length vocoder recompiles.
+        self._synth_vocode = None
+        if self.wg is not None:
+            from flowtron_tpu.vocoder import waveglow_infer as _wg_infer
+            _wg_cfg2 = self.wg[1]
+
+            def synth_vocode(params, wgp, seeds, sigmas, sids, text,
+                             in_lens, temperature):
+                res = sample_z(seeds, sigmas)
+                if bf16:
+                    res = res.astype(jnp.bfloat16)
+                mel, _attns, n_valid = synth(params, res, sids, text,
+                                             in_lens, temperature)
+                n_valid = jnp.maximum(1, n_valid)
+                N = mel.shape[2]
+                valid_f = jnp.arange(N)[None, :] < n_valid[:, None]
+                mel = jnp.where(valid_f[:, None, :],
+                                mel, jnp.asarray(np.log(1e-5), mel.dtype))
+                audio = _wg_infer(wgp, _wg_cfg2, mel,
+                                  sigma=0.8).astype(jnp.float32)
+                n_samples = n_valid.astype(jnp.int32) * 256
+                valid = (jnp.arange(audio.shape[1])[None, :]
+                         < n_samples[:, None])
+                peak = jnp.max(jnp.abs(audio) * valid, axis=1,
+                               keepdims=True)
+                out = audio / jnp.maximum(peak, 1e-8) * valid
+                audio_i16 = jnp.clip(out * 32767.0, -32767, 32767
+                                     ).astype(jnp.int16)
+                return audio_i16, n_valid
+
+            self._synth_vocode_fn = synth_vocode
+        else:
+            self._synth_vocode_fn = None
 
         self._batch_mult = 1
         if mesh_shape:
@@ -224,8 +248,15 @@ class SynthesisEngine:
             self._synth = jax.jit(
                 synth, in_shardings=(pshard, bshard, bshard, bshard,
                                      bshard, None))
+            if self._synth_vocode_fn is not None:
+                self._synth_vocode = jax.jit(
+                    self._synth_vocode_fn,
+                    in_shardings=(pshard, None, bshard, bshard, bshard,
+                                  bshard, bshard, None))
         else:
             self._synth = jax.jit(synth)
+            if self._synth_vocode_fn is not None:
+                self._synth_vocode = jax.jit(self._synth_vocode_fn)
 
         # streaming path: neural vocoder required. Any n_flows streams
         # (multi-flow models run the gated prelude offline — see
@@ -567,37 +598,28 @@ class SynthesisEngine:
         else:
             temp_arg = jnp.asarray(temps[:, None])
 
-        # whole batch's latents in ONE device dispatch (a per-request
-        # PRNGKey + normal pair costs a device round-trip each)
-        res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
-        if self._bf16:
-            res = res.astype(jnp.bfloat16)
-        mel, attns, n_valid = self._synth(
-            self.params, res, jnp.asarray(sids),
-            jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
-        mel = np.asarray(mel, np.float32)
-        # per-request n_frames: cap the emitted length (the synthesis
-        # runs the engine-fixed latent length; this trims the output)
-        n_valid = np.minimum(np.asarray(n_valid), frames_cap)
-
         audio_all = None
-        if self._vocode_batch is not None:
-            # one batched vocoder dispatch for the whole micro-batch:
-            # silence-pad every mel past its n_valid to the common
-            # 64-frame bucket, trim per request after
-            Tb = -(-int(max(1, n_valid[:len(batch)].max())) // 64) * 64
-            mel_b = np.full((B, mel.shape[1], Tb), np.log(1e-5),
-                            np.float32)
-            for b in range(len(batch)):
-                n = max(1, int(n_valid[b]))
-                mel_b[b, :, :n] = mel[b, :, :n]
-            m = jnp.asarray(mel_b)
+        if self._synth_vocode is not None:
+            # latents -> mel -> vocoder -> int16, ONE device dispatch
+            audio_dev, n_valid = self._synth_vocode(
+                self.params, self.wg[0], jnp.asarray(seeds),
+                jnp.asarray(sigmas), jnp.asarray(sids),
+                jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
+            audio_all = np.asarray(audio_dev)
+            n_valid = np.minimum(np.asarray(n_valid), frames_cap)
+        else:
+            # Griffin-Lim engines: latents + synth on device, vocode on
+            # host per request
+            res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
             if self._bf16:
-                m = m.astype(jnp.bfloat16)
-            n_samples = jnp.asarray(
-                np.maximum(1, n_valid[:B]).astype(np.int32) * 256)
-            audio_all = np.asarray(
-                self._vocode_batch(self.wg[0], m, n_samples))
+                res = res.astype(jnp.bfloat16)
+            mel, attns, n_valid = self._synth(
+                self.params, res, jnp.asarray(sids),
+                jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
+            mel = np.asarray(mel, np.float32)
+            # per-request n_frames: cap the emitted length (synthesis
+            # runs the engine-fixed latent length; this trims output)
+            n_valid = np.minimum(np.asarray(n_valid), frames_cap)
 
         for b, (ids, sid, sigma, seed, nf, temp, slot, done) in \
                 enumerate(batch):

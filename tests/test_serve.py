@@ -256,28 +256,25 @@ class TestStreamingEngine:
         assert len(full) >= len(capped)
 
     def test_per_request_temperature(self, stream_engine):
-        """Per-request temperature reaches the jitted synth and changes
-        the mel. (Asserted at the mel level: the fixture's zero-init
-        WaveGlow couplings are identity, so its audio ignores mel.)"""
+        """Per-request temperature reaches the one-dispatch
+        synth+vocode call. (The temperature->mel effect itself is
+        pinned in test_streaming; the fixture's zero-init WaveGlow
+        couplings are identity, so audio cannot witness it here.)"""
         seen = []
-        orig = stream_engine._synth
+        orig = stream_engine._synth_vocode
 
-        def probe(p, r, s, t, i, temp):
-            out = orig(p, r, s, t, i, temp)
-            seen.append((float(np.asarray(temp).max()),
-                         np.asarray(out[0])))
-            return out
+        def probe(p, wgp, seeds, sigmas, s, t, i, temp):
+            seen.append(float(np.asarray(temp).max()))
+            return orig(p, wgp, seeds, sigmas, s, t, i, temp)
 
-        stream_engine._synth = probe
+        stream_engine._synth_vocode = probe
         try:
             stream_engine.submit("Hello there.", 0, seed=12)
             stream_engine.submit("Hello there.", 0, seed=12,
                                  temperature=4.0)
         finally:
-            stream_engine._synth = orig
-        (t1, m1), (t2, m2) = seen[-2:]
-        assert t1 == 1.0 and t2 == 4.0
-        assert not np.allclose(m1, m2)
+            stream_engine._synth_vocode = orig
+        assert seen[-2:] == [1.0, 4.0]
 
     def test_concurrent_streams_via_pool(self, stream_engine):
         """With the streamer pool (default 2 pairs), a second stream
