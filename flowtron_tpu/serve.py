@@ -201,18 +201,22 @@ class SynthesisEngine:
         # little compute on short utterances for one program, no
         # host-sync, and no per-length vocoder recompiles.
         self._synth_vocode = None
+        synth_vocode = None
         if self.wg is not None:
             from flowtron_tpu.vocoder import waveglow_infer as _wg_infer
             _wg_cfg2 = self.wg[1]
 
             def synth_vocode(params, wgp, seeds, sigmas, sids, text,
-                             in_lens, temperature):
+                             in_lens, temperature, frames_cap):
                 res = sample_z(seeds, sigmas)
                 if bf16:
                     res = res.astype(jnp.bfloat16)
                 mel, _attns, n_valid = synth(params, res, sids, text,
                                              in_lens, temperature)
-                n_valid = jnp.maximum(1, n_valid)
+                # per-request n_frames caps BEFORE vocoding, so peak
+                # normalization sees exactly the returned region
+                n_valid = jnp.minimum(jnp.maximum(1, n_valid),
+                                      frames_cap)
                 N = mel.shape[2]
                 valid_f = jnp.arange(N)[None, :] < n_valid[:, None]
                 mel = jnp.where(valid_f[:, None, :],
@@ -229,34 +233,36 @@ class SynthesisEngine:
                                      ).astype(jnp.int16)
                 return audio_i16, n_valid
 
-            self._synth_vocode_fn = synth_vocode
-        else:
-            self._synth_vocode_fn = None
-
         self._batch_mult = 1
         if mesh_shape:
             # multi-chip serving: weights tensor-parallel over 'model',
             # requests data-parallel over 'data' (GSPMD inserts the
             # per-step collectives inside the AR scan over ICI)
             from flowtron_tpu.parallel.mesh import (
-                make_mesh, place_params, param_shardings, data_sharded)
+                make_mesh, place_params, param_shardings, data_sharded,
+                replicated)
             mesh = make_mesh(tuple(mesh_shape), ("data", "model"))
             self.params = place_params(self.params, mesh)
             pshard = param_shardings(self.params, mesh)
             bshard = data_sharded(mesh)
+            repl = replicated(mesh)
             self._batch_mult = int(mesh.shape["data"])
             self._synth = jax.jit(
                 synth, in_shardings=(pshard, bshard, bshard, bshard,
                                      bshard, None))
-            if self._synth_vocode_fn is not None:
+            if synth_vocode is not None:
+                # vocoder weights are committed single-device after
+                # load/bf16-cast; replicate them onto the mesh or the
+                # fused jit raises an incompatible-devices error
+                self.wg = (jax.device_put(self.wg[0], repl), self.wg[1])
                 self._synth_vocode = jax.jit(
-                    self._synth_vocode_fn,
-                    in_shardings=(pshard, None, bshard, bshard, bshard,
-                                  bshard, bshard, None))
+                    synth_vocode,
+                    in_shardings=(pshard, repl, bshard, bshard, bshard,
+                                  bshard, bshard, None, bshard))
         else:
             self._synth = jax.jit(synth)
-            if self._synth_vocode_fn is not None:
-                self._synth_vocode = jax.jit(self._synth_vocode_fn)
+            if synth_vocode is not None:
+                self._synth_vocode = jax.jit(synth_vocode)
 
         # streaming path: neural vocoder required. Any n_flows streams
         # (multi-flow models run the gated prelude offline — see
@@ -604,9 +610,10 @@ class SynthesisEngine:
             audio_dev, n_valid = self._synth_vocode(
                 self.params, self.wg[0], jnp.asarray(seeds),
                 jnp.asarray(sigmas), jnp.asarray(sids),
-                jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
+                jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg,
+                jnp.asarray(frames_cap))
             audio_all = np.asarray(audio_dev)
-            n_valid = np.minimum(np.asarray(n_valid), frames_cap)
+            n_valid = np.asarray(n_valid)  # already frames_cap-capped
         else:
             # Griffin-Lim engines: latents + synth on device, vocode on
             # host per request
@@ -638,7 +645,7 @@ class SynthesisEngine:
 
     def _vocode(self, mel):
         """Griffin-Lim fallback for engines without a neural vocoder
-        (the vocoder path is the jitted batched _vocode_batch)."""
+        (those with one run the fused _synth_vocode dispatch)."""
         from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
         return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
 

@@ -173,6 +173,12 @@ def stream_engine(tmp_path_factory):
     wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
                              n_flows=4, n_group=8, n_early_every=2,
                              n_early_size=2, n_layers=3, n_channels=16)
+    # perturb the zero-init coupling end convs so the vocoder's audio
+    # actually depends on the mel (identity couplings ignore it),
+    # letting tests witness mel-side controls at the audio level
+    for wn in wgp["wn"]:
+        wn["end"]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(3), wn["end"]["w"].shape)
     wg_path = str(root / "wg.pkl")
     with open(wg_path, "wb") as f:
         pickle.dump({"params": wgp, "config": wgc}, f)
@@ -256,25 +262,15 @@ class TestStreamingEngine:
         assert len(full) >= len(capped)
 
     def test_per_request_temperature(self, stream_engine):
-        """Per-request temperature reaches the one-dispatch
-        synth+vocode call. (The temperature->mel effect itself is
-        pinned in test_streaming; the fixture's zero-init WaveGlow
-        couplings are identity, so audio cannot witness it here.)"""
-        seen = []
-        orig = stream_engine._synth_vocode
-
-        def probe(p, wgp, seeds, sigmas, s, t, i, temp):
-            seen.append(float(np.asarray(temp).max()))
-            return orig(p, wgp, seeds, sigmas, s, t, i, temp)
-
-        stream_engine._synth_vocode = probe
-        try:
-            stream_engine.submit("Hello there.", 0, seed=12)
-            stream_engine.submit("Hello there.", 0, seed=12,
-                                 temperature=4.0)
-        finally:
-            stream_engine._synth_vocode = orig
-        assert seen[-2:] == [1.0, 4.0]
+        """Per-request temperature changes the audio END TO END through
+        the one-dispatch serving path (the fixture's vocoder couplings
+        are perturbed off identity so audio witnesses the mel)."""
+        a, _ = stream_engine.submit("Hello there.", 0, seed=12)
+        b, _ = stream_engine.submit("Hello there.", 0, seed=12,
+                                    temperature=4.0)
+        n = min(len(a), len(b))
+        assert n > 0
+        assert not np.array_equal(a[:n], b[:n])
 
     def test_concurrent_streams_via_pool(self, stream_engine):
         """With the streamer pool (default 2 pairs), a second stream
@@ -450,6 +446,58 @@ class TestMeshServing:
                               batch_timeout_ms=20, text_buckets=(16,),
                               n_frames=6, mesh_shape=(2, 4))
         wav, sr = eng.submit("Hello mesh.", 0)  # B=1 -> padded to 2
+        assert sr == 22050 and len(wav) > 0
+        assert np.isfinite(wav.astype(np.float64)).all()
+
+    def test_tp_mesh_engine_with_vocoder(self, tmp_path_factory):
+        """Mesh + neural vocoder: the fused synth_vocode dispatch needs
+        the (single-device-committed) WaveGlow params replicated onto
+        the mesh — this path had no coverage and regressed once."""
+        import jax
+        import pickle
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.serve import SynthesisEngine
+
+        root = tmp_path_factory.mktemp("mesh_wg_serve")
+        rng = np.random.default_rng(0)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=16,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                  use_gate_layer=True, **small)
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+        wgp, wgc = waveglow_init(jax.random.PRNGKey(1), n_mel_channels=8,
+                                 n_flows=4, n_group=8, n_early_every=2,
+                                 n_early_size=2, n_layers=3,
+                                 n_channels=16)
+        with open(root / "wg.pkl", "wb") as f:
+            pickle.dump({"params": wgp, "config": wgc}, f)
+
+        from flowtron_tpu.config import load_config
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=2,
+                                      use_gate_layer=True)
+        eng = SynthesisEngine(config, ckpt,
+                              waveglow_path=str(root / "wg.pkl"),
+                              max_batch=4, batch_timeout_ms=20,
+                              text_buckets=(16,), n_frames=8,
+                              mesh_shape=(2, 4), bf16=True)
+        wav, sr = eng.submit("Hello mesh.", 0)
         assert sr == 22050 and len(wav) > 0
         assert np.isfinite(wav.astype(np.float64)).all()
 
