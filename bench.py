@@ -99,6 +99,7 @@ def main():
 
     e2e_rtf, e2e_detail = bench_e2e(params, cfg)
     stream_detail = bench_stream(params, cfg)
+    serving_detail = bench_serving()
 
     print(json.dumps({
         "metric": "mel_frames_per_sec_per_chip",
@@ -116,7 +117,8 @@ def main():
                    "best_serving_vs_baseline":
                        round(best_fps / BASELINE_FRAMES_PER_SEC, 1),
                    "e2e": e2e_detail,
-                   "stream": stream_detail},
+                   "stream": stream_detail,
+                   "serving": serving_detail},
     }))
 
 
@@ -235,6 +237,27 @@ def bench_stream(params, cfg, N=400):
                 (best[-1] - best[0]) / max(1, len(best) - 1) * 1e3, 1),
             "n_chunks": len(best),
             "agg_rtf": round(best[-1] / audio_s, 4)}
+
+
+def bench_serving():
+    """Serving-engine throughput under concurrent load (scripts/
+    bench_serve.py methodology: flagship dims, bf16, full 400-frame
+    utterances, cold compile pass then a warm measured pass). TPU-only —
+    the flagship engine is not meaningful on one CPU core."""
+    if jax.default_backend() != "tpu":
+        return {"skipped": jax.default_backend()}
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_serve", os.path.join(os.path.dirname(__file__),
+                                    "scripts", "bench_serve.py"))
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    engine = bs.build_flagship_engine(max_batch=8)
+    bs.run_load(engine, 16, 16)  # cold: compiles / warms the chain
+    warm = bs.run_load(engine, 48, 16)
+    warm["note"] = ("warm pass; tunnel load-test variance is +-20% "
+                    "run-to-run — see ROADMAP ranges")
+    return warm
 
 
 if __name__ == "__main__":

@@ -7,6 +7,10 @@ micro-batching and the HTTP-layer frontend work (text cleaning) but not
 network. The dev tunnel adds ~27 ms per device dispatch.
 
 Usage: python scripts/bench_serve.py [n_requests] [concurrency]
+
+`build_flagship_engine` / `run_load` are imported by the repo-root
+bench.py so the driver's BENCH artifact records serving throughput with
+the same methodology (warm pass after a cold compile pass).
 """
 
 import os
@@ -18,13 +22,21 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog by the river.",
+    "Speech synthesis on tensor processing units is very fast.",
+    "A different sentence keeps the text frontend honest here.",
+    "Numbers like 42 and dates like March 3rd normalize too.",
+]
 
-def main():
+
+def build_flagship_engine(max_batch=8, n_frames=400, batch_timeout_ms=30,
+                          bf16=True, quantize=""):
+    """Flagship-dims SynthesisEngine on random weights, bf16, gate biased
+    hard negative so every request carries the full n_frames of work —
+    the worst case a deployment pays."""
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
     import pickle
     import tempfile
     from scipy.io import wavfile
@@ -34,9 +46,6 @@ def main():
     from flowtron_tpu.vocoder import waveglow_init
     from flowtron_tpu.config import load_config
     from flowtron_tpu.serve import SynthesisEngine
-
-    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     root = tempfile.mkdtemp()
     rng = np.random.default_rng(0)
@@ -50,10 +59,7 @@ def main():
                 n_lstm_layers=2, mel_encoder_n_hidden=512)
     params, _ = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
                               use_gate_layer=True, **dims)
-    # random weights fire the gate at frame ~1 (sigmoid(0) vs 0.5);
-    # bias it hard negative so every request carries the full n_frames
-    # of work — the worst case a deployment pays
-    import jax.numpy as jnp
+    # random weights fire the gate at frame ~1 (sigmoid(0) vs 0.5)
     params["flows"][-1]["gate_layer"]["b"] = jnp.asarray([-50.0])
     ckpt = os.path.join(root, "model")
     save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
@@ -70,59 +76,85 @@ def main():
     config["model_config"] = dict(dims, n_flows=2, use_gate_layer=True)
 
     engine = SynthesisEngine(config, ckpt, waveglow_path=wg_path,
-                             max_batch=8, batch_timeout_ms=30,
-                             text_buckets=(64,), n_frames=400, bf16=True)
-
-    texts = [
-        "The quick brown fox jumps over the lazy dog by the river.",
-        "Speech synthesis on tensor processing units is very fast.",
-        "A different sentence keeps the text frontend honest here.",
-        "Numbers like 42 and dates like March 3rd normalize too.",
-    ]
+                             max_batch=max_batch,
+                             batch_timeout_ms=batch_timeout_ms,
+                             text_buckets=(64,), n_frames=n_frames,
+                             bf16=bf16, quantize=quantize)
     # round-3 hardening rejects text past the largest bucket (no more
     # silent truncation) — fail fast if a benchmark text would 413
-    for t in texts:
+    for t in TEXTS:
         n = len(engine.frontend.get_text(t))
         assert n <= max(engine.text_buckets), (t, n)
+    return engine
 
-    def run_pass(label):
-        lat = []
-        lock = threading.Lock()
-        it = iter(range(n_requests))
 
-        def worker():
-            while True:
-                with lock:
-                    i = next(it, None)
-                if i is None:
-                    return
-                t0 = time.perf_counter()
-                wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append((dt, len(wav) / 22050.0))
+def run_load(engine, n_requests, concurrency, texts=TEXTS):
+    """One load pass; returns {req_per_s, x_realtime, p50_ms, p90_ms,
+    p99_ms, max_ms, wall_s, audio_s}."""
+    lat = []
+    lock = threading.Lock()
+    it = iter(range(n_requests))
 
-        t0 = time.perf_counter()
-        threads = [threading.Thread(target=worker)
-                   for _ in range(concurrency)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            t0 = time.perf_counter()
+            wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append((dt, len(wav) / 22050.0))
 
-        ls = sorted(d for d, _ in lat)
-        audio_s = sum(a for _, a in lat)
-        print(f"[{label}] {n_requests} reqs @ concurrency {concurrency}: "
-              f"{n_requests/wall:.2f} req/s, {audio_s/wall:.1f}x realtime "
-              f"aggregate ({audio_s:.1f}s audio in {wall:.1f}s)")
-        print(f"[{label}] latency p50 {ls[len(ls)//2]*1e3:.0f} ms, "
-              f"p90 {ls[int(len(ls)*0.9)]*1e3:.0f} ms, "
-              f"p99 {ls[min(len(ls)-1, int(len(ls)*0.99))]*1e3:.0f} ms, "
-              f"max {ls[-1]*1e3:.0f} ms", flush=True)
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
 
-    run_pass("cold(compiles)")
-    run_pass("warm")
+    ls = sorted(d for d, _ in lat)
+    audio_s = sum(a for _, a in lat)
+    return {
+        "req_per_s": round(n_requests / wall, 2),
+        "x_realtime": round(audio_s / wall, 1),
+        "p50_ms": round(ls[len(ls) // 2] * 1e3),
+        "p90_ms": round(ls[int(len(ls) * 0.9)] * 1e3),
+        "p99_ms": round(ls[min(len(ls) - 1, int(len(ls) * 0.99))] * 1e3),
+        "max_ms": round(ls[-1] * 1e3),
+        "wall_s": round(wall, 1),
+        "audio_s": round(audio_s, 1),
+        "n_requests": n_requests,
+        "concurrency": concurrency,
+    }
+
+
+def main():
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    max_batch = int(os.environ.get("SERVE_MAX_BATCH", "8"))
+    quantize = os.environ.get("SERVE_QUANTIZE", "")
+
+    engine = build_flagship_engine(max_batch=max_batch, quantize=quantize)
+
+    for label in ("cold(compiles)", "warm"):
+        r = run_load(engine, n_requests, concurrency)
+        print(f"[{label}] {r['n_requests']} reqs @ concurrency "
+              f"{r['concurrency']} (max_batch {max_batch}"
+              f"{', ' + quantize if quantize else ''}): "
+              f"{r['req_per_s']} req/s, {r['x_realtime']}x realtime "
+              f"aggregate ({r['audio_s']}s audio in {r['wall_s']}s)")
+        print(f"[{label}] latency p50 {r['p50_ms']} ms, "
+              f"p90 {r['p90_ms']} ms, p99 {r['p99_ms']} ms, "
+              f"max {r['max_ms']} ms", flush=True)
 
 
 if __name__ == "__main__":
