@@ -23,9 +23,14 @@ GET /stream-ws    WebSocket (RFC 6455): send one text frame with the
 GET /healthz      -> {"status": "ok", "queue_depth": N}
 GET /metrics      -> request/batch/error/rejection counters, synthesized
                   audio seconds, recent batch-latency percentiles
+GET /models       -> loaded voices; any request body may carry
+                  {"model": "name"} to pick one (multi-model serving:
+                  several checkpoints resident at once, each with its
+                  own batching queue; unknown names are 404)
 
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
      [--port 8080 --max-batch 8 --batch-timeout-ms 20 --max-queue 64]
+     [--model other=config2.json:ckpt2:vocoder2 ...]
 """
 
 import argparse
@@ -58,6 +63,14 @@ class TextTooLong(ValueError):
 
 class EngineOverloaded(RuntimeError):
     """Request queue is full (HTTP 429)."""
+
+
+class UnknownModel(ValueError):
+    """Request named a model that is not loaded (HTTP 404)."""
+
+    def __init__(self, name, known):
+        super().__init__(f"unknown model {name!r}; loaded models: "
+                         f"{sorted(known)} (see GET /models)")
 
 
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
@@ -150,13 +163,26 @@ class SynthesisEngine:
                 quantize_flows_for_inference
             self.params = quantize_flows_for_inference(self.params,
                                                        mode=qmode)
-        elif bf16:
-            # TPU serving dtype: ~+30% over fp32 (mel MAE ~1e-3 scale);
-            # quantized modes already handle their own dtypes
-            self.params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                self.params)
+        if bf16:
+            # TPU serving dtype: ~+30% over fp32 (mel MAE ~1e-3 scale).
+            # Composes with quantized modes: the remaining float leaves
+            # (biases, encoder, unquantized projections) go bf16 while
+            # quantized leaf-dicts keep their int payload + fp32 scales
+            # (qdot dequantizes into the activation dtype). Leaving
+            # those float leaves fp32 poisoned the bf16 scan carry
+            # (carry-dtype mismatch at first compile).
+            def to_bf16(t):
+                if isinstance(t, dict):
+                    if "q" in t or "q4" in t:
+                        return t
+                    return {k: to_bf16(v) for k, v in t.items()}
+                if isinstance(t, (list, tuple)):
+                    return type(t)(to_bf16(v) for v in t)
+                if hasattr(t, "dtype") and t.dtype == jnp.float32:
+                    return t.astype(jnp.bfloat16)
+                return t
+
+            self.params = to_bf16(self.params)
         self._bf16 = bool(bf16)
 
         from flowtron_tpu.data.dataset import data_kwargs
@@ -723,13 +749,32 @@ def _ws_recv(rfile):
 
 
 def make_handler(engine):
+    """HTTP handler over one engine or a {name: engine} dict.
+
+    Multi-model serving (beyond the reference, which ships two published
+    checkpoints — LJS and LibriTTS — that a deployment wants resident at
+    once): requests pick a voice with a "model" field; the first dict
+    entry is the default. GET /models lists them. Single-engine response
+    shapes (/healthz, /metrics) are unchanged."""
     from http.server import BaseHTTPRequestHandler
+
+    engines = engine if isinstance(engine, dict) else {"default": engine}
+    if not engines:
+        raise ValueError("no models given")
+    default_name = next(iter(engines))
+    multi = len(engines) > 1
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer for /stream
 
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _engine(self, req):
+            name = req.get("model") or default_name
+            if name not in engines:
+                raise UnknownModel(name, engines)
+            return engines[name]
 
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -741,10 +786,25 @@ def make_handler(engine):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok",
-                                 "queue_depth": engine.queue_depth})
+                depths = {n: e.queue_depth for n, e in engines.items()}
+                out = {"status": "ok", "queue_depth": sum(depths.values())}
+                if multi:
+                    out["models"] = depths
+                self._json(200, out)
             elif self.path == "/metrics":
-                self._json(200, engine.metrics())
+                self._json(200, {n: e.metrics()
+                                 for n, e in engines.items()} if multi
+                           else engines[default_name].metrics())
+            elif self.path == "/models":
+                self._json(200, {
+                    "default": default_name,
+                    "models": [{
+                        "name": n,
+                        "can_stream": e.can_stream,
+                        "sampling_rate": e.data_config["sampling_rate"],
+                        "n_speakers": e.config["model_config"]
+                        .get("n_speakers"),
+                    } for n, e in engines.items()]})
             elif self.path == "/stream-ws":
                 self._do_stream_ws()
             else:
@@ -763,7 +823,7 @@ def make_handler(engine):
                     or not key:
                 self._json(400, {"error": "expected websocket upgrade"})
                 return
-            if not engine.can_stream:
+            if not any(e.can_stream for e in engines.values()):
                 self._json(501, {"error": "streaming requires a "
                                  "neural vocoder (-w)"})
                 return
@@ -786,12 +846,18 @@ def make_handler(engine):
                     _ws_send(self.wfile, b"\x03\xe8", 8)
                     return
                 req = json.loads(payload or b"{}")
-                gen = engine.stream(
+                eng = self._engine(req)
+                if not eng.can_stream:
+                    text({"error": "streaming requires a neural "
+                          "vocoder (-w) on this model"})
+                    _ws_send(self.wfile, b"\x03\xe8", 8)
+                    return
+                gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
                     temperature=req.get("temperature"))
-                sr = engine.data_config["sampling_rate"]
+                sr = eng.data_config["sampling_rate"]
                 text({"sample_rate": sr, "format": "pcm16"})
                 for pcm in gen:
                     if len(pcm):
@@ -823,7 +889,7 @@ def make_handler(engine):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 text = req["text"]
-                wav, sr = engine.submit(
+                wav, sr = self._engine(req).submit(
                     text, req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
@@ -837,6 +903,8 @@ def make_handler(engine):
                 self.wfile.write(body)
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
+            except UnknownModel as e:
+                self._json(404, {"error": str(e)})
             except TextTooLong as e:
                 self._json(413, {"error": str(e)})
             except EngineOverloaded as e:
@@ -847,20 +915,24 @@ def make_handler(engine):
         def _do_stream(self):
             """Chunked-transfer WAV: audio bytes flow as synthesis runs
             (one mel chunk + vocoder lookahead to first byte)."""
-            if not engine.can_stream:
-                self._json(501, {"error": "streaming requires a "
-                                 "neural vocoder (-w)"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                gen = engine.stream(
+                eng = self._engine(req)
+                if not eng.can_stream:
+                    self._json(501, {"error": "streaming requires a "
+                                     "neural vocoder (-w)"})
+                    return
+                gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
                     temperature=req.get("temperature"))
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
+                return
+            except UnknownModel as e:
+                self._json(404, {"error": str(e)})
                 return
             except TextTooLong as e:
                 self._json(413, {"error": str(e)})
@@ -871,7 +943,7 @@ def make_handler(engine):
             except Exception as e:
                 self._json(500, {"error": repr(e)})
                 return
-            sr = engine.data_config["sampling_rate"]
+            sr = eng.data_config["sampling_rate"]
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
@@ -922,28 +994,49 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 weights/activations (the TPU "
                              "serving dtype; ~+30%% over fp32)")
+    parser.add_argument("--model", action="append", default=[],
+                        metavar="NAME=CONFIG:CKPT[:VOCODER]",
+                        help="load an EXTRA named model next to the "
+                             "primary one (repeatable); requests pick a "
+                             "voice with a \"model\" field, GET /models "
+                             "lists them. The primary -c/-f model is "
+                             "named 'default'. Quantize (--int8/"
+                             "--quantize w8) to fit several models "
+                             "resident at once.")
     args = parser.parse_args(argv)
 
     from flowtron_tpu.cli import _apply_platform_override
     _apply_platform_override()
     from flowtron_tpu.config import load_config
-    config = load_config(args.config, args.params)
 
-    engine = SynthesisEngine(config, args.flowtron_path, args.waveglow_path,
-                             max_batch=args.max_batch,
-                             batch_timeout_ms=args.batch_timeout_ms,
-                             n_frames=args.n_frames, int8=args.int8,
-                             quantize=args.quantize, fused=args.fused,
-                             mesh_shape=[int(x) for x in
-                                         args.mesh.split(",")]
-                             if args.mesh else None, bf16=args.bf16,
-                             max_queue=args.max_queue,
-                             stream_workers=args.stream_workers)
+    def build(config_path, ckpt, vocoder):
+        return SynthesisEngine(
+            load_config(config_path, args.params), ckpt, vocoder,
+            max_batch=args.max_batch,
+            batch_timeout_ms=args.batch_timeout_ms,
+            n_frames=args.n_frames, int8=args.int8,
+            quantize=args.quantize, fused=args.fused,
+            mesh_shape=[int(x) for x in args.mesh.split(",")]
+            if args.mesh else None, bf16=args.bf16,
+            max_queue=args.max_queue,
+            stream_workers=args.stream_workers)
+
+    engines = {"default": build(args.config, args.flowtron_path,
+                                args.waveglow_path)}
+    for spec in args.model:
+        name, _, rest = spec.partition("=")
+        parts = rest.split(":")
+        if not name or len(parts) < 2:
+            parser.error(f"--model expects NAME=CONFIG:CKPT[:VOCODER], "
+                         f"got {spec!r}")
+        engines[name] = build(parts[0], parts[1],
+                              parts[2] if len(parts) > 2 else "")
 
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
-                                 make_handler(engine))
-    print(f"serving on :{args.port} (max_batch={args.max_batch})")
+                                 make_handler(engines))
+    print(f"serving on :{args.port} (max_batch={args.max_batch}, "
+          f"models={list(engines)})")
     server.serve_forever()
 
 

@@ -554,6 +554,19 @@ class TestBf16Serving:
         out = np.concatenate(chunks)
         assert len(out) > 0 and np.isfinite(out.astype(np.float64)).all()
 
+        # regression: bf16 composes with quantized modes (fp32 biases
+        # used to leak into the bf16 scan carry -> carry-dtype mismatch
+        # at first compile; caught live by the w8+bf16 load test)
+        for qmode in ("w8", "w4"):
+            engq = SynthesisEngine(config, ckpt,
+                                   waveglow_path=str(root / "wg.pkl"),
+                                   max_batch=2, batch_timeout_ms=20,
+                                   text_buckets=(16,), n_frames=24,
+                                   bf16=True, quantize=qmode)
+            wav, _ = engq.submit("Hello there.", 0)
+            assert len(wav) > 0
+            assert np.isfinite(wav.astype(np.float64)).all()
+
 
 class TestHTTPEndpoints:
     @pytest.fixture(scope="class")
@@ -788,3 +801,115 @@ class TestTwoFlowStreaming:
         assert wav.dtype == np.int16
         assert len(wav) >= 256 and len(wav) % 256 == 0
         assert np.isfinite(wav.astype(np.float64)).all()
+
+
+class TestMultiModel:
+    """Multi-model serving: several engines behind one handler, routed
+    by the request's "model" field (serve.py make_handler)."""
+
+    @pytest.fixture(scope="class")
+    def multi_server(self, engine, tmp_path_factory):
+        import jax
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        from flowtron_tpu.train.radam import radam
+        from flowtron_tpu.serve import SynthesisEngine, make_handler
+        from flowtron_tpu.config import load_config
+
+        root = tmp_path_factory.mktemp("serve_alt")
+        rng = np.random.default_rng(1)
+        wavfile.write(root / "u.wav", 22050,
+                      (rng.standard_normal(4096) * 2000).astype(np.int16))
+        (root / "fl.txt").write_text(f"{root}/u.wav|hello|0\n")
+        small = dict(n_speakers=1, n_speaker_dim=4, n_text=185,
+                     n_text_dim=16, n_mel_channels=8, n_hidden=12,
+                     n_attn_channels=8, n_lstm_layers=2,
+                     mel_encoder_n_hidden=8)
+        params, _ = flowtron_init(jax.random.PRNGKey(7), n_flows=2,
+                                  use_gate_layer=True, **small)
+        ckpt = str(root / "model")
+        save_checkpoint(ckpt, params, radam(1e-3).init(params), 0, 1e-3)
+        config = load_config(overrides=[
+            f"data_config.training_files={root}/fl.txt",
+            f"data_config.validation_files={root}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+        ])
+        config["model_config"] = dict(small, n_flows=2,
+                                      use_gate_layer=True)
+        # distinguishable from the default fixture: 3 frames vs 6
+        alt = SynthesisEngine(config, ckpt, max_batch=4,
+                              batch_timeout_ms=50, text_buckets=(16, 32),
+                              n_frames=3)
+        srv = ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            make_handler({"default": engine, "alt": alt}))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def _post(self, url, body, timeout=300):
+        import json
+        import urllib.request
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    def test_models_endpoint(self, multi_server):
+        import json
+        import urllib.request
+        with urllib.request.urlopen(multi_server + "/models",
+                                    timeout=60) as r:
+            m = json.loads(r.read())
+        assert m["default"] == "default"
+        assert sorted(x["name"] for x in m["models"]) == ["alt", "default"]
+        assert all(x["sampling_rate"] == 22050 for x in m["models"])
+
+    def test_routing_by_model_field(self, multi_server):
+        """Same text + seed through the two engines (independent weight
+        inits) must produce different audio -> proof the "model" field
+        actually switched engines."""
+        with self._post(multi_server + "/synthesize",
+                        {"text": "Hello routing."}) as r:
+            default_wav = r.read()
+        with self._post(multi_server + "/synthesize",
+                        {"text": "Hello routing.",
+                         "model": "alt"}) as r:
+            alt_wav = r.read()
+        assert default_wav[:4] == alt_wav[:4] == b"RIFF"
+        assert default_wav != alt_wav
+
+    def test_unknown_model_is_404(self, multi_server):
+        import json
+        import urllib.error
+        for path in ("/synthesize", "/stream"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(multi_server + path,
+                           {"text": "Hi.", "model": "nope"})
+            assert ei.value.code == 404
+            assert "unknown model" in json.loads(ei.value.read())["error"]
+
+    def test_healthz_aggregates(self, multi_server):
+        import json
+        import urllib.request
+        with urllib.request.urlopen(multi_server + "/healthz",
+                                    timeout=60) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert set(h["models"]) == {"default", "alt"}
+
+    def test_metrics_keyed_by_model(self, multi_server):
+        import json
+        import urllib.request
+        self._post(multi_server + "/synthesize",
+                   {"text": "Count me.", "model": "alt"}).read()
+        with urllib.request.urlopen(multi_server + "/metrics",
+                                    timeout=60) as r:
+            m = json.loads(r.read())
+        assert set(m) == {"default", "alt"}
+        assert m["alt"]["requests"] >= 1
