@@ -329,8 +329,16 @@ class SynthesisEngine:
 
         # bounded: overload returns 429 instead of unbounded latency
         self._queue = queue.Queue(maxsize=max(1, int(max_queue)))
+        # dispatch/complete pipeline: maxsize=1 means at most two
+        # batches touch the device pipeline (one executing, one queued)
+        # while the completion thread drains results — double buffering
+        # without unbounded in-flight work
+        self._inflight = queue.Queue(maxsize=1)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+        self._completer.start()
 
     def _count(self, name, by=1):
         with self._metrics_lock:
@@ -536,6 +544,15 @@ class SynthesisEngine:
         return self.text_buckets[-1]
 
     def _loop(self):
+        """Dispatcher: gathers micro-batches and launches them on the
+        device WITHOUT waiting for results. JAX dispatch is async (the
+        returned arrays are futures; fetching blocks), so handing the
+        in-flight handles to the completion thread lets the device start
+        batch k+1 while batch k's audio is still transferring to the
+        host and being distributed — the device never idles between
+        micro-batches. The in-flight queue is bounded (double
+        buffering): under overload we stop dispatching, not pile device
+        work."""
         while True:
             first = self._queue.get()
             batch = [first]
@@ -550,7 +567,23 @@ class SynthesisEngine:
                     break
             t0 = time.time()
             try:
-                self._run_batch(batch)
+                handles = self._dispatch_batch(batch)
+            except Exception as e:  # pragma: no cover
+                self._fail_batch(batch, e)
+                continue
+            if handles is not None:
+                self._inflight.put((batch, handles, t0))
+
+    def _complete_loop(self):
+        """Completion worker: blocks on the device->host fetch of each
+        in-flight batch (FIFO, so device-queue order is preserved),
+        distributes audio to the waiting requests, and runs any
+        host-side vocoding (Griffin-Lim engines) off the dispatch
+        path."""
+        while True:
+            batch, handles, t0 = self._inflight.get()
+            try:
+                self._complete_batch(batch, handles)
                 with self._metrics_lock:
                     self._metrics["requests"] += len(batch)
                     self._metrics["batches"] += 1
@@ -558,11 +591,14 @@ class SynthesisEngine:
                         (time.time() - t0) * 1e3)
                     del self._recent_batch_ms[:-100]
             except Exception as e:  # pragma: no cover
-                with self._metrics_lock:
-                    self._metrics["errors"] += len(batch)
-                for *_, slot, done in batch:
-                    slot["error"] = repr(e)
-                    done.set()
+                self._fail_batch(batch, e)
+
+    def _fail_batch(self, batch, e):
+        with self._metrics_lock:
+            self._metrics["errors"] += len(batch)
+        for *_, slot, done in batch:
+            slot["error"] = repr(e)
+            done.set()
 
     def metrics(self):
         with self._metrics_lock:
@@ -575,14 +611,19 @@ class SynthesisEngine:
             out["batch_ms_p90"] = round(r[int(len(r) * 0.9)], 1)
         return out
 
-    def _run_batch(self, batch):
+    def _dispatch_batch(self, batch):
+        """Build the padded host arrays and launch the device work.
+        Returns opaque handles (device-array futures + host metadata)
+        for _complete_batch, or None when every request in the batch was
+        cancelled. Does NOT block on device results."""
         jnp = self.jnp
 
         # drop segments whose submit aborted mid-split (overload):
         # nobody waits on them; don't spend device time
-        batch = [item for item in batch if not item[-2].get("cancelled")]
+        batch[:] = [item for item in batch
+                    if not item[-2].get("cancelled")]
         if not batch:
-            return
+            return None
 
         Tk = self._bucket(max(len(ids) for ids, *_ in batch))
         # bucket the batch dim to a power of two (bounded set of
@@ -630,29 +671,35 @@ class SynthesisEngine:
         else:
             temp_arg = jnp.asarray(temps[:, None])
 
-        audio_all = None
         if self._synth_vocode is not None:
             # latents -> mel -> vocoder -> int16, ONE device dispatch
-            audio_dev, n_valid = self._synth_vocode(
+            audio_dev, n_valid_dev = self._synth_vocode(
                 self.params, self.wg[0], jnp.asarray(seeds),
                 jnp.asarray(sigmas), jnp.asarray(sids),
                 jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg,
                 jnp.asarray(frames_cap))
-            audio_all = np.asarray(audio_dev)
-            n_valid = np.asarray(n_valid)  # already frames_cap-capped
+            return ("fused", audio_dev, n_valid_dev, None)
+        # Griffin-Lim engines: latents + synth on device, vocode on
+        # host per request (in the completion thread)
+        res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
+        if self._bf16:
+            res = res.astype(jnp.bfloat16)
+        mel_dev, attns, n_valid_dev = self._synth(
+            self.params, res, jnp.asarray(sids),
+            jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
+        return ("gl", mel_dev, n_valid_dev, frames_cap)
+
+    def _complete_batch(self, batch, handles):
+        kind, data_dev, n_valid_dev, frames_cap = handles
+        audio_all = mel = None
+        if kind == "fused":
+            audio_all = np.asarray(data_dev)
+            n_valid = np.asarray(n_valid_dev)  # already frames_cap-capped
         else:
-            # Griffin-Lim engines: latents + synth on device, vocode on
-            # host per request
-            res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
-            if self._bf16:
-                res = res.astype(jnp.bfloat16)
-            mel, attns, n_valid = self._synth(
-                self.params, res, jnp.asarray(sids),
-                jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
-            mel = np.asarray(mel, np.float32)
+            mel = np.asarray(data_dev, np.float32)
             # per-request n_frames: cap the emitted length (synthesis
             # runs the engine-fixed latent length; this trims output)
-            n_valid = np.minimum(np.asarray(n_valid), frames_cap)
+            n_valid = np.minimum(np.asarray(n_valid_dev), frames_cap)
 
         for b, (ids, sid, sigma, seed, nf, temp, slot, done) in \
                 enumerate(batch):

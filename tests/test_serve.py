@@ -566,6 +566,10 @@ class TestBf16Serving:
             wav, _ = engq.submit("Hello there.", 0)
             assert len(wav) > 0
             assert np.isfinite(wav.astype(np.float64)).all()
+            out = np.concatenate(list(engq.stream("Stream me.", 0,
+                                                  seed=2)))
+            assert len(out) > 0
+            assert np.isfinite(out.astype(np.float64)).all()
 
 
 class TestHTTPEndpoints:
