@@ -14,8 +14,11 @@ POST /synthesize  {"text": "...", "speaker_id": 0, "sigma": 0.5,
   "split": true, which sentence-splits and synthesizes the segments as
   one micro-batch. An overloaded queue rejects with 429.
 POST /stream      same body -> chunked-transfer audio/wav: bytes flow
-                  as synthesis runs (any n_flows + vocoder;
-                  see infer/streaming.py)
+                  as synthesis runs (any n_flows + vocoder; see
+                  infer/streaming.py). "split": true streams paragraph-
+                  length text as one continuous utterance (sentence-
+                  split server-side, segments synthesized back to back
+                  on the same streamer)
 GET /stream-ws    WebSocket (RFC 6455): send one text frame with the
                   same JSON body; receive {"sample_rate","format"} then
                   binary PCM16 frames, then close. Errors are framed
@@ -361,12 +364,18 @@ class SynthesisEngine:
         return ids
 
     def stream(self, text, speaker_id=0, sigma=0.5, seed=1234,
-               n_frames=None, temperature=None):
+               n_frames=None, temperature=None, split=False):
         """Mono int16 PCM chunk generator (time-to-first-audio is one
         mel chunk + vocoder lookahead, plus the offline gated prelude
         for multi-flow models). Requires a loaded vocoder; amplitude
         uses a fixed clip scale (a streaming response cannot be
         normalized to its own global peak).
+
+        split=True streams paragraph-length text as ONE continuous PCM
+        stream: the text is sentence-split into bucket-sized segments
+        (split_measured) and synthesized back to back on the same
+        checked-out streamer — the audience hears a single utterance
+        while segment k+1 begins as soon as k's frames finish.
 
         Validation runs eagerly (not at first next()) so HTTP callers
         can still return 4xx/5xx before committing to a 200 + chunked
@@ -380,14 +389,20 @@ class SynthesisEngine:
         if temperature is not None:
             temperature = float(temperature)
         try:
-            ids = self._text_to_ids(text)
+            ids = self.frontend.get_text(text)
+            if len(ids) == 0:
+                raise ValueError("empty text after cleaning")
+            if len(ids) > self.text_buckets[-1]:
+                if not split:
+                    raise TextTooLong(len(ids), self.text_buckets[-1])
+                pieces = split_measured(text, self.frontend.get_text,
+                                        self.text_buckets[-1])
+                segments = [p_ids for _, p_ids in pieces]
+            else:
+                segments = [ids]
         except TextTooLong:
             self._count("rejected_too_long")
             raise
-        Tk = self._bucket(len(ids))
-        text_pad = np.zeros((1, Tk), np.int64)
-        n = len(ids)
-        text_pad[0, :n] = np.asarray(ids)
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
         # EAGER pool checkout: overload surfaces here as 429, before
         # the caller commits to a 200 + chunked response
@@ -399,10 +414,10 @@ class SynthesisEngine:
             raise EngineOverloaded(
                 "all streaming workers busy; retry later")
         self._count("stream_requests")
-        return self._stream_gen(pair, text_pad, n, sid, sigma, seed,
+        return self._stream_gen(pair, segments, sid, sigma, seed,
                                 n_frames, temperature)
 
-    def _stream_gen(self, pair, text_pad, n, sid, sigma, seed, n_frames,
+    def _stream_gen(self, pair, segments, sid, sigma, seed, n_frames,
                     temperature):
         """The producer thread owns the checked-out streamer pair;
         chunks cross to the caller through a bounded queue. The thread
@@ -419,25 +434,33 @@ class SynthesisEngine:
             err = None
             try:
                 mel_s, voc = pair
-                k_mel, k_voc = self.jax.random.split(
-                    self.jax.random.PRNGKey(int(seed)))
-                voc.reset(k_voc)
-                for audio in pump_stream(
-                        mel_s, voc, k_mel, jnp.asarray([sid]),
-                        jnp.asarray(text_pad), sigma=float(sigma),
-                        in_lens=jnp.asarray([n]),
-                        temperature=temperature,
-                        max_frames=n_frames):
-                    if cancel.is_set():
-                        return
-                    chunk = np.clip(audio[0], -1.0, 1.0)
-                    pcm = (chunk * 32767).astype(np.int16)
-                    try:
-                        out_q.put(pcm,
-                                  timeout=self.stream_stall_timeout)
-                    except queue.Full:
-                        self._count("stream_stalls")
-                        return
+                for si, ids in enumerate(segments):
+                    n = len(ids)
+                    Tk = self._bucket(n)
+                    text_pad = np.zeros((1, Tk), np.int64)
+                    text_pad[0, :n] = np.asarray(ids)
+                    # independent latents per segment, deterministic in
+                    # (seed, segment index)
+                    k_mel, k_voc = self.jax.random.split(
+                        self.jax.random.fold_in(
+                            self.jax.random.PRNGKey(int(seed)), si))
+                    voc.reset(k_voc)
+                    for audio in pump_stream(
+                            mel_s, voc, k_mel, jnp.asarray([sid]),
+                            jnp.asarray(text_pad), sigma=float(sigma),
+                            in_lens=jnp.asarray([n]),
+                            temperature=temperature,
+                            max_frames=n_frames):
+                        if cancel.is_set():
+                            return
+                        chunk = np.clip(audio[0], -1.0, 1.0)
+                        pcm = (chunk * 32767).astype(np.int16)
+                        try:
+                            out_q.put(pcm,
+                                      timeout=self.stream_stall_timeout)
+                        except queue.Full:
+                            self._count("stream_stalls")
+                            return
             except Exception as e:  # surfaced to the consumer
                 err = e
             finally:
@@ -903,7 +926,8 @@ def make_handler(engine):
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
-                    temperature=req.get("temperature"))
+                    temperature=req.get("temperature"),
+                    split=bool(req.get("split", False)))
                 sr = eng.data_config["sampling_rate"]
                 text({"sample_rate": sr, "format": "pcm16"})
                 for pcm in gen:
@@ -974,7 +998,8 @@ def make_handler(engine):
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
-                    temperature=req.get("temperature"))
+                    temperature=req.get("temperature"),
+                    split=bool(req.get("split", False)))
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
                 return

@@ -89,6 +89,28 @@ class TestEngine:
         # 4 segments x >= 1 frame (256 samples) each, concatenated
         assert len(wav) >= 4 * 256
 
+    def test_completion_failure_fails_only_that_batch(self, engine):
+        """The pipelined dispatch/completion split: an error in the
+        completion stage fails the affected requests and the engine
+        keeps serving."""
+        orig = engine._complete_batch
+        calls = {"n": 0}
+
+        def boom(batch, handles):
+            if calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("completion exploded")
+            return orig(batch, handles)
+
+        engine._complete_batch = boom
+        try:
+            with pytest.raises(RuntimeError, match="completion exploded"):
+                engine.submit("Hello.", 0)
+        finally:
+            engine._complete_batch = orig
+        wav, _ = engine.submit("Hello again.", 0)
+        assert len(wav) > 0
+
     def test_overload_raises_429(self, engine):
         """A full request queue rejects instead of queueing unboundedly.
         The worker is blocked on the ORIGINAL queue object, so swapping
@@ -210,6 +232,25 @@ class TestStreamingEngine:
         assert wav.dtype == np.int16
         assert len(wav) % 256 == 0
         assert len(wav) >= 256
+
+    def test_stream_long_text_rejected_without_split(self, stream_engine):
+        from flowtron_tpu.serve import TextTooLong
+        with pytest.raises(TextTooLong, match="largest bucket"):
+            stream_engine.stream("word " * 20, 0)
+
+    def test_stream_split_streams_whole_paragraph(self, stream_engine):
+        """split=True: paragraph-length text streams as one continuous
+        PCM stream, every sentence-split segment contributing audio on
+        the same checked-out streamer."""
+        from flowtron_tpu.serve import split_measured
+        text = "One two three. " * 6
+        pieces = split_measured(text, stream_engine.frontend.get_text,
+                                stream_engine.text_buckets[-1])
+        assert len(pieces) >= 2  # actually exercises multi-segment
+        chunks = list(stream_engine.stream(text, 0, seed=5, split=True))
+        wav = np.concatenate(chunks)
+        assert len(wav) >= len(pieces) * 256  # >=1 frame per segment
+        assert np.isfinite(wav.astype(np.float64)).all()
 
     def test_stream_seed_changes_audio(self, stream_engine):
         a = np.concatenate(list(stream_engine.stream("Same text.", 0,
@@ -656,6 +697,16 @@ class TestHTTPEndpoints:
                          "split": True}) as r:
             body = r.read()
         assert body[:4] == b"RIFF"
+
+    def test_http_stream_split_long_text(self, server):
+        with self._post(server + "/stream",
+                        {"text": "One two three. " * 6,
+                         "split": True, "seed": 11}) as r:
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        pcm = np.frombuffer(body[44:], np.int16)
+        assert len(pcm) >= 2 * 256  # multiple segments' audio
 
     # -- WebSocket transport (hand-rolled RFC 6455 client) -------------
     def _ws_connect(self, server, body):
