@@ -31,9 +31,16 @@ GET /models       -> loaded voices; any request body may carry
                   several checkpoints resident at once, each with its
                   own batching queue; unknown names are 404)
 
+Scale-out: --replicas N (or 'auto') keeps N independent single-device
+copies of the whole request chain and round-robins micro-batches across
+them — the right mode once one chip's max_batch-8 throughput saturates
+(batch compute grows ~linearly past B=8, so more chips beat bigger
+batches). --mesh remains the tensor-parallel alternative for models too
+big for one device.
+
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
      [--port 8080 --max-batch 8 --batch-timeout-ms 20 --max-queue 64]
-     [--model other=config2.json:ckpt2:vocoder2 ...]
+     [--model other=config2.json:ckpt2:vocoder2 ...] [--replicas auto]
 """
 
 import argparse
@@ -131,7 +138,7 @@ class SynthesisEngine:
                  n_frames=400, int8=False, quantize="", fused=False,
                  mesh_shape=None, bf16=False, max_queue=64,
                  stream_stall_timeout=30.0, stream_workers=2,
-                 stream_acquire_timeout=5.0):
+                 stream_acquire_timeout=5.0, replicas=1):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -140,6 +147,8 @@ class SynthesisEngine:
 
         self.jax, self.jnp = jax, jnp
         self.config = config
+        self._ckpt_path = flowtron_path
+        self._waveglow_path = waveglow_path
         self.n_frames = n_frames
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1000.0
@@ -147,6 +156,13 @@ class SynthesisEngine:
         self.stream_stall_timeout = float(stream_stall_timeout)
         self.stream_acquire_timeout = float(stream_acquire_timeout)
 
+        if mesh_shape and replicas and int(replicas) > 1:
+            # replicas are independent single-device programs; a mesh is
+            # one multi-device program — the two sharding stories for
+            # the same chips can't compose. Mesh wins (it was explicit).
+            print("WARNING: --replicas is incompatible with --mesh; "
+                  "ignoring replicas")
+            replicas = 1
         if mesh_shape and fused:
             # the fused Pallas decoder assumes whole weights in one
             # core's VMEM; TP-sharded params would fail at first-request
@@ -293,6 +309,36 @@ class SynthesisEngine:
             if synth_vocode is not None:
                 self._synth_vocode = jax.jit(synth_vocode)
 
+        # data-parallel replicas: N independent single-device copies of
+        # the whole request chain, round-robin dispatched. The serving
+        # sweeps showed throughput saturates per chip at max_batch 8
+        # because batch compute scales ~linearly past B=8 — the scale-out
+        # lever is more chips running INDEPENDENT programs (no
+        # collectives, full latency isolation), not bigger batches or a
+        # TP mesh. jit specializes per committed-device placement, so
+        # replica k's dispatch runs entirely on devices[k].
+        self._replica_devices = None
+        self._replica_params = None
+        self._replica_wg = None
+        R = max(1, int(replicas or 1))
+        if R > 1:
+            devs = jax.local_devices()
+            if R > len(devs):
+                print(f"WARNING: --replicas {R} > {len(devs)} local "
+                      f"devices; clamping")
+                R = len(devs)
+            if R > 1:
+                self._replica_devices = devs[:R]
+                self._replica_params = [
+                    jax.device_put(self.params, d)
+                    for d in self._replica_devices]
+                if self.wg is not None:
+                    self._replica_wg = [
+                        jax.device_put(self.wg[0], d)
+                        for d in self._replica_devices]
+        self._n_replicas = R if self._replica_devices else 1
+        self._rr = 0  # round-robin cursor (dispatcher thread only)
+
         # streaming path: neural vocoder required. Any n_flows streams
         # (multi-flow models run the gated prelude offline — see
         # infer/streaming.py). A POOL of warm streamer pairs allows
@@ -308,9 +354,17 @@ class SynthesisEngine:
                 StreamingMelSynthesizer, StreamingVocoder)
             wg_params, wg_cfg = self.wg
             self._stream_pool = queue.Queue()
-            for _ in range(max(1, int(stream_workers))):
+            for i in range(max(1, int(stream_workers))):
+                if self._replica_devices is not None:
+                    # spread warm streamer pairs across the replica
+                    # devices so concurrent streams don't contend
+                    r = i % self._n_replicas
+                    p_i = self._replica_params[r]
+                    wg_i = self._replica_wg[r]
+                else:
+                    p_i, wg_i = self.params, wg_params
                 self._stream_pool.put((
-                    StreamingMelSynthesizer(self.params, self.static_cfg,
+                    StreamingMelSynthesizer(p_i, self.static_cfg,
                                             chunk_frames=40,
                                             gate_threshold=0.5,
                                             max_frames=n_frames,
@@ -326,7 +380,8 @@ class SynthesisEngine:
         self._metrics = {"requests": 0, "batches": 0, "errors": 0,
                          "audio_seconds": 0.0, "stream_requests": 0,
                          "rejected_too_long": 0, "rejected_overload": 0,
-                         "text_clamped": 0, "stream_stalls": 0}
+                         "text_clamped": 0, "stream_stalls": 0,
+                         "replica_batches": [0] * self._n_replicas}
         self._recent_batch_ms = []
         self._metrics_lock = threading.Lock()
 
@@ -335,8 +390,9 @@ class SynthesisEngine:
         # dispatch/complete pipeline: maxsize=1 means at most two
         # batches touch the device pipeline (one executing, one queued)
         # while the completion thread drains results — double buffering
-        # without unbounded in-flight work
-        self._inflight = queue.Queue(maxsize=1)
+        # without unbounded in-flight work. With R replicas the bound
+        # scales to 2R-1 so every device keeps its own double buffer.
+        self._inflight = queue.Queue(maxsize=2 * self._n_replicas - 1)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         self._completer = threading.Thread(target=self._complete_loop,
@@ -627,6 +683,7 @@ class SynthesisEngine:
         with self._metrics_lock:
             recent = list(self._recent_batch_ms)
             out = dict(self._metrics)
+            out["replica_batches"] = list(out["replica_batches"])
         out["queue_depth"] = self.queue_depth
         if recent:
             r = sorted(recent)
@@ -694,10 +751,26 @@ class SynthesisEngine:
         else:
             temp_arg = jnp.asarray(temps[:, None])
 
+        # replica selection (round-robin; dispatcher thread only). The
+        # jitted programs follow the COMMITTED device of the params, so
+        # picking replica r runs the whole chain on its device while
+        # the other replicas' in-flight batches proceed in parallel.
+        params, wgp = self.params, (self.wg[0] if self.wg else None)
+        rep_dev = None
+        if self._replica_devices is not None:
+            r = self._rr % self._n_replicas
+            self._rr += 1
+            rep_dev = self._replica_devices[r]
+            params = self._replica_params[r]
+            if self._replica_wg is not None:
+                wgp = self._replica_wg[r]
+            with self._metrics_lock:
+                self._metrics["replica_batches"][r] += 1
+
         if self._synth_vocode is not None:
             # latents -> mel -> vocoder -> int16, ONE device dispatch
             audio_dev, n_valid_dev = self._synth_vocode(
-                self.params, self.wg[0], jnp.asarray(seeds),
+                params, wgp, jnp.asarray(seeds),
                 jnp.asarray(sigmas), jnp.asarray(sids),
                 jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg,
                 jnp.asarray(frames_cap))
@@ -707,8 +780,12 @@ class SynthesisEngine:
         res = self._sample_z(jnp.asarray(seeds), jnp.asarray(sigmas))
         if self._bf16:
             res = res.astype(jnp.bfloat16)
+        if rep_dev is not None:
+            # _sample_z lands on the default device; the synth params
+            # are committed elsewhere — move the (small) latents over
+            res = self.jax.device_put(res, rep_dev)
         mel_dev, attns, n_valid_dev = self._synth(
-            self.params, res, jnp.asarray(sids),
+            params, res, jnp.asarray(sids),
             jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg)
         return ("gl", mel_dev, n_valid_dev, frames_cap)
 
@@ -1066,6 +1143,13 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 weights/activations (the TPU "
                              "serving dtype; ~+30%% over fp32)")
+    parser.add_argument("--replicas", default="1",
+                        help="N or 'auto': data-parallel replicas, one "
+                             "independent copy of the model per local "
+                             "device, round-robin micro-batches. The "
+                             "per-chip scale-out mode (throughput "
+                             "saturates at max-batch 8 per chip); "
+                             "incompatible with --mesh")
     parser.add_argument("--model", action="append", default=[],
                         metavar="NAME=CONFIG:CKPT[:VOCODER]",
                         help="load an EXTRA named model next to the "
@@ -1081,6 +1165,12 @@ def main(argv=None):
     _apply_platform_override()
     from flowtron_tpu.config import load_config
 
+    if args.replicas == "auto":
+        import jax
+        n_replicas = len(jax.local_devices())
+    else:
+        n_replicas = int(args.replicas)
+
     def build(config_path, ckpt, vocoder):
         return SynthesisEngine(
             load_config(config_path, args.params), ckpt, vocoder,
@@ -1091,7 +1181,8 @@ def main(argv=None):
             mesh_shape=[int(x) for x in args.mesh.split(",")]
             if args.mesh else None, bf16=args.bf16,
             max_queue=args.max_queue,
-            stream_workers=args.stream_workers)
+            stream_workers=args.stream_workers,
+            replicas=n_replicas)
 
     engines = {"default": build(args.config, args.flowtron_path,
                                 args.waveglow_path)}
