@@ -30,6 +30,11 @@ GET /models       -> loaded voices; any request body may carry
                   {"model": "name"} to pick one (multi-model serving:
                   several checkpoints resident at once, each with its
                   own batching queue; unknown names are 404)
+POST /models      {"name", "config", "checkpoint", "vocoder"?}
+                  -> load a new voice at runtime (409 if the name is
+                  taken). DELETE /models/<name> unloads one: the
+                  engine drains, active streams finish, device memory
+                  is freed (409 for the last resident model).
 
 Scale-out: --replicas N (or 'auto') keeps N independent single-device
 copies of the whole request chain and round-robins micro-batches across
@@ -84,6 +89,10 @@ class UnknownModel(ValueError):
 
 
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
+
+# queue sentinel: wakes the dispatcher (which forwards it to the
+# completion thread) so shutdown() can join both workers cleanly
+_SHUTDOWN = object()
 
 
 def split_measured(text, measure, max_ids):
@@ -385,6 +394,8 @@ class SynthesisEngine:
         self._recent_batch_ms = []
         self._metrics_lock = threading.Lock()
 
+        self._stream_workers = max(1, int(stream_workers))
+        self._closed = False
         # bounded: overload returns 429 instead of unbounded latency
         self._queue = queue.Queue(maxsize=max(1, int(max_queue)))
         # dispatch/complete pipeline: maxsize=1 means at most two
@@ -436,6 +447,8 @@ class SynthesisEngine:
         Validation runs eagerly (not at first next()) so HTTP callers
         can still return 4xx/5xx before committing to a 200 + chunked
         response."""
+        if self._closed:
+            raise RuntimeError("engine is shut down")
         if self._stream_pool is None:
             raise RuntimeError(
                 "streaming requires a neural vocoder (-w)")
@@ -485,6 +498,9 @@ class SynthesisEngine:
         jnp = self.jnp
         out_q = queue.Queue(maxsize=4)
         cancel = threading.Event()
+        # capture the pool OBJECT: shutdown() nulls the attribute, but a
+        # stream that outlives it must still return its pair somewhere
+        pool = self._stream_pool
 
         def produce():
             err = None
@@ -520,7 +536,7 @@ class SynthesisEngine:
             except Exception as e:  # surfaced to the consumer
                 err = e
             finally:
-                self._stream_pool.put(pair)
+                pool.put(pair)
                 try:
                     out_q.put(err, timeout=5)
                 except queue.Full:
@@ -568,6 +584,8 @@ class SynthesisEngine:
         the audio concatenated. Raises EngineOverloaded when the
         request queue is full.
         """
+        if self._closed:
+            raise RuntimeError("engine is shut down")
         try:
             ids = self._text_to_ids(text)
             pieces = [(text, ids)]
@@ -634,24 +652,35 @@ class SynthesisEngine:
         work."""
         while True:
             first = self._queue.get()
+            if first is _SHUTDOWN:
+                self._inflight.put(_SHUTDOWN)
+                return
             batch = [first]
+            stop = False
             deadline = time.time() + self.batch_timeout
             while len(batch) < self.max_batch:
                 timeout = deadline - time.time()
                 if timeout <= 0:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=timeout))
+                    item = self._queue.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if item is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(item)
             t0 = time.time()
             try:
                 handles = self._dispatch_batch(batch)
             except Exception as e:  # pragma: no cover
                 self._fail_batch(batch, e)
-                continue
+                handles = None
             if handles is not None:
                 self._inflight.put((batch, handles, t0))
+            if stop:
+                self._inflight.put(_SHUTDOWN)
+                return
 
     def _complete_loop(self):
         """Completion worker: blocks on the device->host fetch of each
@@ -660,7 +689,10 @@ class SynthesisEngine:
         host-side vocoding (Griffin-Lim engines) off the dispatch
         path."""
         while True:
-            batch, handles, t0 = self._inflight.get()
+            item = self._inflight.get()
+            if item is _SHUTDOWN:
+                return
+            batch, handles, t0 = item
             try:
                 self._complete_batch(batch, handles)
                 with self._metrics_lock:
@@ -822,6 +854,123 @@ class SynthesisEngine:
         from flowtron_tpu.infer.sampling import mel_to_audio_griffinlim
         return mel_to_audio_griffinlim(mel, self.data_config, n_iters=20)
 
+    # -- lifecycle --------------------------------------------------------
+    def warmup(self):
+        """Pre-compile the batch-path programs: one jit executable
+        exists per (batch-bucket, text-bucket) pair — and per replica
+        device — so without warmup the first request to hit each pair
+        pays its compile (seconds on CPU; minutes on a cold TPU
+        tunnel, though the persistent compile cache amortizes across
+        restarts). Dispatches a tiny dummy batch through the real
+        jitted entry points for every pair and blocks until each
+        result is materialized. Warms the scalar-temperature variant
+        (the common case; per-request temperature vectors trace their
+        own program on first use)."""
+        jnp = self.jnp
+        Bs, B = [], 1
+        while B <= self.max_batch:
+            m = self._batch_mult
+            Bs.append(((B + m - 1) // m) * m)
+            B *= 2
+        Bs = sorted(set(Bs))
+        param_sets = [(self.params, self.wg[0] if self.wg else None,
+                       None)]
+        if self._replica_devices is not None:
+            param_sets = [
+                (self._replica_params[r],
+                 self._replica_wg[r] if self._replica_wg is not None
+                 else None,
+                 self._replica_devices[r])
+                for r in range(self._n_replicas)]
+        n = 0
+        t0 = time.time()
+        for params, wgp, rep_dev in param_sets:
+            for B in Bs:
+                for Tk in self.text_buckets:
+                    text = np.zeros((B, Tk), np.int64)
+                    text[:, 0] = 1
+                    in_lens = np.ones((B,), np.int64)
+                    sids = np.zeros((B,), np.int64)
+                    seeds = np.zeros((B,), np.int64)
+                    sigmas = np.full((B,), 0.5, np.float32)
+                    temp = jnp.asarray(1.0, jnp.float32)
+                    caps = np.full((B,), self.n_frames, np.int64)
+                    if self._synth_vocode is not None:
+                        audio, nv = self._synth_vocode(
+                            params, wgp, jnp.asarray(seeds),
+                            jnp.asarray(sigmas), jnp.asarray(sids),
+                            jnp.asarray(text), jnp.asarray(in_lens),
+                            temp, jnp.asarray(caps))
+                        np.asarray(nv)
+                    else:
+                        res = self._sample_z(jnp.asarray(seeds),
+                                             jnp.asarray(sigmas))
+                        if self._bf16:
+                            res = res.astype(jnp.bfloat16)
+                        if rep_dev is not None:
+                            res = self.jax.device_put(res, rep_dev)
+                        _, _, nv = self._synth(
+                            params, res, jnp.asarray(sids),
+                            jnp.asarray(text), jnp.asarray(in_lens),
+                            temp)
+                        np.asarray(nv)
+                    n += 1
+        return {"programs": n, "seconds": round(time.time() - t0, 2)}
+
+    def shutdown(self, timeout=60.0):
+        """Stop serving and release device memory (runtime model
+        unload). New submit/stream calls raise immediately; requests
+        already dispatched complete; active streams run to their end
+        before their streamer pair is reclaimed. Safe to call twice."""
+        if self._closed:
+            return
+        self._closed = True
+        # wake the dispatcher (it forwards the sentinel to the
+        # completion thread). A full queue can't block us forever: new
+        # submits are refused, so drain-and-fail until the put lands.
+        while True:
+            try:
+                self._queue.put_nowait(_SHUTDOWN)
+                break
+            except queue.Full:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    continue
+                if item is not _SHUTDOWN:
+                    self._fail_batch([item],
+                                     RuntimeError("engine shut down"))
+        self._worker.join(timeout)
+        self._completer.join(timeout)
+        # fail any requests that raced past the closed check after the
+        # sentinel was consumed
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _SHUTDOWN:
+                self._fail_batch([item], RuntimeError("engine shut down"))
+        # reclaim the streamer pairs: each active stream returns its
+        # pair to the pool when it finishes (stream() already refuses
+        # new checkouts via _closed)
+        if self._stream_pool is not None:
+            deadline = time.time() + timeout
+            got = 0
+            while got < self._stream_workers and time.time() < deadline:
+                try:
+                    self._stream_pool.get(timeout=0.2)
+                    got += 1
+                except queue.Empty:
+                    pass
+            self._stream_pool = None
+        # drop the device references (params, replica copies, vocoder
+        # weights, jitted executables) so XLA can free the HBM
+        self.params = None
+        self._replica_params = self._replica_wg = None
+        self.wg = None
+        self._synth = self._synth_vocode = self._sample_z = None
+
 
 def _wav_bytes(wav_int16, sr):
     from scipy.io import wavfile
@@ -895,21 +1044,31 @@ def _ws_recv(rfile):
     return opcode, data
 
 
-def make_handler(engine):
+def make_handler(engine, loader=None):
     """HTTP handler over one engine or a {name: engine} dict.
 
     Multi-model serving (beyond the reference, which ships two published
     checkpoints — LJS and LibriTTS — that a deployment wants resident at
     once): requests pick a voice with a "model" field; the first dict
     entry is the default. GET /models lists them. Single-engine response
-    shapes (/healthz, /metrics) are unchanged."""
+    shapes (/healthz, /metrics) are unchanged.
+
+    Runtime model management: when `loader(config_path, ckpt, vocoder)
+    -> SynthesisEngine` is given, `POST /models` with
+    {"name", "config", "checkpoint", "vocoder"?} loads a new voice
+    without a restart, and `DELETE /models/<name>` shuts its engine
+    down and frees its device memory. The last resident model cannot be
+    unloaded; unloading the default promotes the next loaded model."""
     from http.server import BaseHTTPRequestHandler
 
+    # NOT copied: runtime loads/unloads mutate the caller's dict, so
+    # main()'s exit path shuts down runtime-loaded engines too
     engines = engine if isinstance(engine, dict) else {"default": engine}
     if not engines:
         raise ValueError("no models given")
-    default_name = next(iter(engines))
-    multi = len(engines) > 1
+    reg_lock = threading.Lock()
+    reg = {"default": next(iter(engines)), "loading": set()}
+    multi = len(engines) > 1 or loader is not None
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer for /stream
@@ -918,10 +1077,11 @@ def make_handler(engine):
             pass
 
         def _engine(self, req):
-            name = req.get("model") or default_name
-            if name not in engines:
-                raise UnknownModel(name, engines)
-            return engines[name]
+            with reg_lock:
+                name = req.get("model") or reg["default"]
+                if name not in engines:
+                    raise UnknownModel(name, set(engines))
+                return engines[name]
 
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -932,16 +1092,19 @@ def make_handler(engine):
             self.wfile.write(body)
 
         def do_GET(self):
+            with reg_lock:
+                snap = dict(engines)
+                default_name = reg["default"]
             if self.path == "/healthz":
-                depths = {n: e.queue_depth for n, e in engines.items()}
+                depths = {n: e.queue_depth for n, e in snap.items()}
                 out = {"status": "ok", "queue_depth": sum(depths.values())}
                 if multi:
                     out["models"] = depths
                 self._json(200, out)
             elif self.path == "/metrics":
                 self._json(200, {n: e.metrics()
-                                 for n, e in engines.items()} if multi
-                           else engines[default_name].metrics())
+                                 for n, e in snap.items()} if multi
+                           else snap[default_name].metrics())
             elif self.path == "/models":
                 self._json(200, {
                     "default": default_name,
@@ -951,11 +1114,70 @@ def make_handler(engine):
                         "sampling_rate": e.data_config["sampling_rate"],
                         "n_speakers": e.config["model_config"]
                         .get("n_speakers"),
-                    } for n, e in engines.items()]})
+                    } for n, e in snap.items()]})
             elif self.path == "/stream-ws":
                 self._do_stream_ws()
             else:
                 self._json(404, {"error": "not found"})
+
+        def do_DELETE(self):
+            """DELETE /models/<name>: shut the engine down (drains its
+            queue, finishes active streams, frees device memory) and
+            remove the voice. 409 for the last resident model."""
+            if not self.path.startswith("/models/"):
+                self._json(404, {"error": "not found"})
+                return
+            name = self.path[len("/models/"):]
+            with reg_lock:
+                if name not in engines:
+                    self._json(404, {"error": f"unknown model {name!r}"})
+                    return
+                if len(engines) == 1:
+                    self._json(409, {"error": "cannot unload the last "
+                                     "resident model"})
+                    return
+                eng = engines.pop(name)
+                if reg["default"] == name:
+                    reg["default"] = next(iter(engines))
+                new_default = reg["default"]
+            eng.shutdown()
+            self._json(200, {"unloaded": name, "default": new_default})
+
+        def _do_load_model(self, req):
+            """POST /models: load a new voice at runtime. Builds the
+            engine OUTSIDE the registry lock (checkpoint restore +
+            tracing take seconds); a per-name loading set keeps
+            concurrent loads of the same name to one winner (409)."""
+            if loader is None:
+                self._json(501, {"error": "runtime model loading is "
+                                 "not enabled (start via the serve "
+                                 "CLI, or pass make_handler a loader)"})
+                return
+            try:
+                name = req["name"]
+                config_path = req["config"]
+                ckpt = req["checkpoint"]
+            except KeyError as e:
+                self._json(400, {"error": f"missing field {e}"})
+                return
+            with reg_lock:
+                if name in engines or name in reg["loading"]:
+                    self._json(409, {"error": f"model {name!r} is "
+                                     "already loaded (or loading)"})
+                    return
+                reg["loading"].add(name)
+            try:
+                eng = loader(config_path, ckpt, req.get("vocoder", ""))
+            except Exception as e:
+                self._json(500, {"error": repr(e)})
+                return
+            finally:
+                with reg_lock:
+                    reg["loading"].discard(name)
+            with reg_lock:
+                engines[name] = eng
+            self._json(200, {"loaded": name,
+                             "can_stream": eng.can_stream})
 
         def _do_stream_ws(self):
             """WebSocket streaming transport (RFC 6455, stdlib framing):
@@ -970,7 +1192,9 @@ def make_handler(engine):
                     or not key:
                 self._json(400, {"error": "expected websocket upgrade"})
                 return
-            if not any(e.can_stream for e in engines.values()):
+            with reg_lock:
+                streamable = any(e.can_stream for e in engines.values())
+            if not streamable:
                 self._json(501, {"error": "streaming requires a "
                                  "neural vocoder (-w)"})
                 return
@@ -1029,6 +1253,15 @@ def make_handler(engine):
         def do_POST(self):
             if self.path == "/stream":
                 self._do_stream()
+                return
+            if self.path == "/models":
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except Exception as e:
+                    self._json(400, {"error": repr(e)})
+                    return
+                self._do_load_model(req)
                 return
             if self.path != "/synthesize":
                 self._json(404, {"error": "not found"})
@@ -1150,6 +1383,11 @@ def main(argv=None):
                              "per-chip scale-out mode (throughput "
                              "saturates at max-batch 8 per chip); "
                              "incompatible with --mesh")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile every (batch, text) bucket "
+                             "program before accepting traffic (first-"
+                             "request latency; composes with the "
+                             "persistent compile cache)")
     parser.add_argument("--model", action="append", default=[],
                         metavar="NAME=CONFIG:CKPT[:VOCODER]",
                         help="load an EXTRA named model next to the "
@@ -1195,12 +1433,34 @@ def main(argv=None):
         engines[name] = build(parts[0], parts[1],
                               parts[2] if len(parts) > 2 else "")
 
+    if args.warmup:
+        for name, eng in engines.items():
+            print(f"warming up {name}...", flush=True)
+            print(f"  {eng.warmup()}")
+
     from http.server import ThreadingHTTPServer
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
-                                 make_handler(engines))
+                                 make_handler(engines, loader=build))
+
+    import signal
+
+    def _graceful(signum, frame):
+        # serve_forever() blocks this (main) thread; shutdown() must be
+        # called from another thread or it deadlocks
+        print(f"signal {signum}: draining...", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     print(f"serving on :{args.port} (max_batch={args.max_batch}, "
           f"models={list(engines)})")
     server.serve_forever()
+    # SIGTERM/SIGINT path: in-flight HTTP handlers have returned; drain
+    # each engine's queue and release device memory before exit
+    for eng in engines.values():
+        eng.shutdown()
+    print("shutdown complete")
 
 
 if __name__ == "__main__":

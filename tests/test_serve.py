@@ -1038,3 +1038,170 @@ class TestMultiModel:
             m = json.loads(r.read())
         assert set(m) == {"default", "alt"}
         assert m["alt"]["requests"] >= 1
+
+
+class TestLifecycle:
+    """Engine shutdown: clean worker exit, refused new work, freed
+    device references (the runtime model-unload building block)."""
+
+    def test_shutdown_refuses_new_work_and_frees_memory(self, engine):
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(engine.config, engine._ckpt_path,
+                              max_batch=4, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=6)
+        wav, _ = eng.submit("Hello.", 0)
+        assert len(wav) > 0
+        eng.shutdown()
+        assert eng.params is None and eng._synth is None
+        assert not eng._worker.is_alive()
+        assert not eng._completer.is_alive()
+        with pytest.raises(RuntimeError, match="shut down"):
+            eng.submit("More.", 0)
+        eng.shutdown()  # idempotent
+
+    def test_shutdown_reclaims_streamers(self, stream_engine):
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(stream_engine.config,
+                              stream_engine._ckpt_path,
+                              waveglow_path=stream_engine._waveglow_path,
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=48,
+                              stream_workers=1)
+        assert len(np.concatenate(list(eng.stream("Hello.", 0,
+                                                  seed=5)))) > 0
+        eng.shutdown()
+        assert eng._stream_pool is None and eng.wg is None
+        with pytest.raises(RuntimeError, match="shut down"):
+            eng.stream("More.", 0)
+
+    def test_warmup_precompiles_all_bucket_programs(self, engine):
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(engine.config, engine._ckpt_path,
+                              max_batch=4, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=6)
+        out = eng.warmup()
+        assert out["programs"] == 3 * 2  # B in {1,2,4} x Tk in {16,32}
+        # every (B, Tk) pair traced: no compile left for first requests
+        assert eng._synth._cache_size() >= 6
+        wav, _ = eng.submit("Hello warm.", 0)
+        assert len(wav) > 0
+        eng.shutdown()
+
+
+class TestRuntimeModels:
+    """Runtime model management: POST /models loads a voice without a
+    restart; DELETE /models/<name> shuts it down and frees its memory."""
+
+    @pytest.fixture(scope="class")
+    def rt(self, engine, tmp_path_factory):
+        import json as _json
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import SynthesisEngine, make_handler
+        from flowtron_tpu.config import load_config
+
+        root = tmp_path_factory.mktemp("rt_models")
+        cfg_path = str(root / "config.json")
+        with open(cfg_path, "w") as f:
+            _json.dump(engine.config, f)
+
+        def loader(config_path, ckpt, vocoder):
+            return SynthesisEngine(load_config(config_path), ckpt,
+                                   vocoder, max_batch=2,
+                                   batch_timeout_ms=20,
+                                   text_buckets=(16, 32), n_frames=4)
+
+        base = loader(cfg_path, engine._ckpt_path, "")
+        srv = ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            make_handler({"default": base}, loader=loader))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield (f"http://127.0.0.1:{srv.server_address[1]}", cfg_path,
+               engine._ckpt_path)
+        srv.shutdown()
+
+    def _req(self, url, body=None, method="POST", timeout=300):
+        import json
+        import urllib.request
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            url, data=data, method=method,
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    def test_load_and_route(self, rt):
+        import json
+        import urllib.request
+        url, cfg_path, ckpt = rt
+        with self._req(url + "/models", {"name": "extra",
+                                         "config": cfg_path,
+                                         "checkpoint": ckpt}) as r:
+            assert json.loads(r.read())["loaded"] == "extra"
+        with urllib.request.urlopen(url + "/models", timeout=60) as r:
+            names = [m["name"] for m in json.loads(r.read())["models"]]
+        assert set(names) == {"default", "extra"}
+        with self._req(url + "/synthesize",
+                       {"text": "Hello new voice.",
+                        "model": "extra"}) as r:
+            assert r.read()[:4] == b"RIFF"
+
+    def test_duplicate_load_is_409(self, rt):
+        import urllib.error
+        url, cfg_path, ckpt = rt
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._req(url + "/models", {"name": "extra",
+                                        "config": cfg_path,
+                                        "checkpoint": ckpt})
+        assert ei.value.code == 409
+
+    def test_missing_field_is_400(self, rt):
+        import urllib.error
+        url, _, _ = rt
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._req(url + "/models", {"name": "x"})
+        assert ei.value.code == 400
+
+    def test_unload_default_promotes_next(self, rt):
+        import json
+        import urllib.request
+        url, _, _ = rt
+        with self._req(url + "/models/default", method="DELETE") as r:
+            out = json.loads(r.read())
+        assert out == {"unloaded": "default", "default": "extra"}
+        with urllib.request.urlopen(url + "/models", timeout=60) as r:
+            models = json.loads(r.read())
+        assert models["default"] == "extra"
+        # requests without a model field now route to the promoted one
+        with self._req(url + "/synthesize", {"text": "Still here."}) as r:
+            assert r.read()[:4] == b"RIFF"
+
+    def test_unload_last_model_is_409(self, rt):
+        import urllib.error
+        url, _, _ = rt
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._req(url + "/models/extra", method="DELETE")
+        assert ei.value.code == 409
+
+    def test_unload_unknown_is_404(self, rt):
+        import urllib.error
+        url, _, _ = rt
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._req(url + "/models/nope", method="DELETE")
+        assert ei.value.code == 404
+
+    def test_load_without_loader_is_501(self, engine):
+        import urllib.error
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                                  make_handler(engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._req(url + "/models", {"name": "x", "config": "c",
+                                            "checkpoint": "k"})
+            assert ei.value.code == 501
+        finally:
+            srv.shutdown()
