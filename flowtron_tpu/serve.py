@@ -147,7 +147,8 @@ class SynthesisEngine:
                  n_frames=400, int8=False, quantize="", fused=False,
                  mesh_shape=None, bf16=False, max_queue=64,
                  stream_stall_timeout=30.0, stream_workers=2,
-                 stream_acquire_timeout=5.0, replicas=1):
+                 stream_acquire_timeout=5.0, replicas=1,
+                 vocode_buckets=None):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -172,6 +173,10 @@ class SynthesisEngine:
             print("WARNING: --replicas is incompatible with --mesh; "
                   "ignoring replicas")
             replicas = 1
+        if mesh_shape and vocode_buckets:
+            print("WARNING: --vocode-buckets is not supported with "
+                  "--mesh; using the one-dispatch chain")
+            vocode_buckets = None
         if mesh_shape and fused:
             # the fused Pallas decoder assumes whole weights in one
             # core's VMEM; TP-sharded params would fail at first-request
@@ -256,12 +261,13 @@ class SynthesisEngine:
         # host-sync, and no per-length vocoder recompiles.
         self._synth_vocode = None
         synth_vocode = None
+        vocode_norm = None
         if self.wg is not None:
             from flowtron_tpu.vocoder import waveglow_infer as _wg_infer
             _wg_cfg2 = self.wg[1]
 
-            def synth_vocode(params, wgp, seeds, sigmas, sids, text,
-                             in_lens, temperature, frames_cap):
+            def synth_mel(params, seeds, sigmas, sids, text, in_lens,
+                          temperature, frames_cap):
                 res = sample_z(seeds, sigmas)
                 if bf16:
                     res = res.astype(jnp.bfloat16)
@@ -275,6 +281,9 @@ class SynthesisEngine:
                 valid_f = jnp.arange(N)[None, :] < n_valid[:, None]
                 mel = jnp.where(valid_f[:, None, :],
                                 mel, jnp.asarray(np.log(1e-5), mel.dtype))
+                return mel, n_valid
+
+            def vocode_norm(wgp, mel, n_valid):
                 audio = _wg_infer(wgp, _wg_cfg2, mel,
                                   sigma=0.8).astype(jnp.float32)
                 n_samples = n_valid.astype(jnp.int32) * 256
@@ -283,9 +292,22 @@ class SynthesisEngine:
                 peak = jnp.max(jnp.abs(audio) * valid, axis=1,
                                keepdims=True)
                 out = audio / jnp.maximum(peak, 1e-8) * valid
-                audio_i16 = jnp.clip(out * 32767.0, -32767, 32767
-                                     ).astype(jnp.int16)
-                return audio_i16, n_valid
+                return jnp.clip(out * 32767.0, -32767, 32767
+                                ).astype(jnp.int16)
+
+            def synth_vocode(params, wgp, seeds, sigmas, sids, text,
+                             in_lens, temperature, frames_cap):
+                mel, n_valid = synth_mel(params, seeds, sigmas, sids,
+                                         text, in_lens, temperature,
+                                         frames_cap)
+                return vocode_norm(wgp, mel, n_valid), n_valid
+
+        self._synth_mel = self._vocode_norm = None
+        self._vocode_buckets = None
+        if vocode_buckets and self.wg is not None:
+            bs = sorted({int(b) for b in vocode_buckets
+                         if 0 < int(b) < n_frames})
+            self._vocode_buckets = tuple(bs) + (n_frames,)
 
         self._batch_mult = 1
         if mesh_shape:
@@ -315,7 +337,21 @@ class SynthesisEngine:
                                   bshard, bshard, None, bshard))
         else:
             self._synth = jax.jit(synth)
-            if synth_vocode is not None:
+            # gate/length-aware two-stage vocoding: the vocoder
+            # dominates the fused dispatch (~130 of 152 ms at flagship
+            # dims) yet runs the engine-fixed n_frames even when every
+            # stream's gate (or per-request n_frames cap) ended the
+            # utterance early. With vocode_buckets set, dispatch splits
+            # into synth-mel (device) -> host n_valid fetch -> vocode at
+            # the smallest bucket covering max(n_valid). The host sync
+            # costs nothing under load: the dispatcher/completion split
+            # lets synth of batch k+1 overlap the fetch+vocode of batch
+            # k. Buckets bound the compiled program set; n_frames is
+            # always the last bucket.
+            if self._vocode_buckets is not None:
+                self._synth_mel = jax.jit(synth_mel)
+                self._vocode_norm = jax.jit(vocode_norm)
+            elif synth_vocode is not None:
                 self._synth_vocode = jax.jit(synth_vocode)
 
         # data-parallel replicas: N independent single-device copies of
@@ -799,6 +835,14 @@ class SynthesisEngine:
             with self._metrics_lock:
                 self._metrics["replica_batches"][r] += 1
 
+        if self._synth_mel is not None:
+            # two-stage: mel now; the completion thread fetches n_valid
+            # and vocodes at the smallest covering frame bucket
+            mel_dev, n_valid_dev = self._synth_mel(
+                params, jnp.asarray(seeds), jnp.asarray(sigmas),
+                jnp.asarray(sids), jnp.asarray(text_pad),
+                jnp.asarray(in_lens), temp_arg, jnp.asarray(frames_cap))
+            return ("staged", (mel_dev, wgp), n_valid_dev, None)
         if self._synth_vocode is not None:
             # latents -> mel -> vocoder -> int16, ONE device dispatch
             audio_dev, n_valid_dev = self._synth_vocode(
@@ -827,6 +871,15 @@ class SynthesisEngine:
         if kind == "fused":
             audio_all = np.asarray(data_dev)
             n_valid = np.asarray(n_valid_dev)  # already frames_cap-capped
+        elif kind == "staged":
+            mel_dev, wgp = data_dev
+            n_valid = np.asarray(n_valid_dev)  # blocks on the synth
+            need = max(1, int(n_valid[:len(batch)].max()))
+            Nb = next(b for b in self._vocode_buckets if b >= need)
+            mel_b = mel_dev[:, :, :Nb] if Nb < mel_dev.shape[2] \
+                else mel_dev
+            audio_all = np.asarray(self._vocode_norm(wgp, mel_b,
+                                                     n_valid_dev))
         else:
             mel = np.asarray(data_dev, np.float32)
             # per-request n_frames: cap the emitted length (synthesis
@@ -895,7 +948,21 @@ class SynthesisEngine:
                     sigmas = np.full((B,), 0.5, np.float32)
                     temp = jnp.asarray(1.0, jnp.float32)
                     caps = np.full((B,), self.n_frames, np.int64)
-                    if self._synth_vocode is not None:
+                    if self._synth_mel is not None:
+                        mel, nv = self._synth_mel(
+                            params, jnp.asarray(seeds),
+                            jnp.asarray(sigmas), jnp.asarray(sids),
+                            jnp.asarray(text), jnp.asarray(in_lens),
+                            temp, jnp.asarray(caps))
+                        np.asarray(nv)
+                        if Tk == self.text_buckets[0]:
+                            # vocode programs key on (B, frame bucket),
+                            # not the text bucket — warm once per B
+                            for Nb in self._vocode_buckets:
+                                np.asarray(self._vocode_norm(
+                                    wgp, mel[:, :, :Nb], nv))
+                                n += 1
+                    elif self._synth_vocode is not None:
                         audio, nv = self._synth_vocode(
                             params, wgp, jnp.asarray(seeds),
                             jnp.asarray(sigmas), jnp.asarray(sids),
@@ -970,6 +1037,7 @@ class SynthesisEngine:
         self._replica_params = self._replica_wg = None
         self.wg = None
         self._synth = self._synth_vocode = self._sample_z = None
+        self._synth_mel = self._vocode_norm = None
 
 
 def _wav_bytes(wav_int16, sr):
@@ -1383,6 +1451,14 @@ def main(argv=None):
                              "per-chip scale-out mode (throughput "
                              "saturates at max-batch 8 per chip); "
                              "incompatible with --mesh")
+    parser.add_argument("--vocode-buckets", default="",
+                        help="comma list of mel-frame buckets (e.g. "
+                             "'100,200') enabling gate/length-aware "
+                             "two-stage vocoding: the vocoder runs at "
+                             "the smallest bucket covering the batch's "
+                             "gated lengths instead of always "
+                             "--n-frames (the vocoder is ~85%% of the "
+                             "dispatch). Not supported with --mesh")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every (batch, text) bucket "
                              "program before accepting traffic (first-"
@@ -1420,7 +1496,10 @@ def main(argv=None):
             if args.mesh else None, bf16=args.bf16,
             max_queue=args.max_queue,
             stream_workers=args.stream_workers,
-            replicas=n_replicas)
+            replicas=n_replicas,
+            vocode_buckets=[int(x) for x in
+                            args.vocode_buckets.split(",")]
+            if args.vocode_buckets else None)
 
     engines = {"default": build(args.config, args.flowtron_path,
                                 args.waveglow_path)}

@@ -1040,6 +1040,66 @@ class TestMultiModel:
         assert m["alt"]["requests"] >= 1
 
 
+class TestVocodeBuckets:
+    """Gate/length-aware two-stage vocoding (vocode_buckets): the
+    completion thread fetches n_valid and vocodes at the smallest frame
+    bucket covering the batch instead of always n_frames."""
+
+    def _engine(self, stream_engine, **kw):
+        from flowtron_tpu.serve import SynthesisEngine
+        return SynthesisEngine(stream_engine.config,
+                               stream_engine._ckpt_path,
+                               waveglow_path=stream_engine._waveglow_path,
+                               max_batch=2, batch_timeout_ms=20,
+                               text_buckets=(16, 32), n_frames=48, **kw)
+
+    def test_staged_matches_fused_audio(self, stream_engine):
+        # single full-length bucket: the staged path runs exactly the
+        # fused epilogue ops (program split may reassociate floats, so
+        # compare to 1 int16 LSB, not bitwise)
+        staged = self._engine(stream_engine, vocode_buckets=(48,))
+        assert staged._synth_mel is not None
+        assert staged._vocode_buckets == (48,)
+        try:
+            got, _ = staged.submit("Hello staged.", 0, seed=21)
+            want, _ = stream_engine.submit("Hello staged.", 0, seed=21)
+            assert len(got) == len(want)
+            assert np.abs(got.astype(np.int32)
+                          - want.astype(np.int32)).max() <= 1
+        finally:
+            staged.shutdown()
+
+    def test_short_requests_use_small_bucket(self, stream_engine):
+        eng = self._engine(stream_engine, vocode_buckets=(8,))
+        assert eng._vocode_buckets == (8, 48)
+        try:
+            wav, _ = eng.submit("Hi.", 0, seed=5, n_frames=4)
+            assert 256 <= len(wav) <= 4 * 256
+            assert eng._vocode_norm._cache_size() == 1  # the (B,8) program
+            wav2, _ = eng.submit("Hello much longer text here.", 0,
+                                 seed=6)
+            assert len(wav2) % 256 == 0
+            # a past-8-frames utterance compiles the (B,48) program; an
+            # early random-init gate legitimately stays in the small one
+            n2 = len(wav2) // 256
+            assert eng._vocode_norm._cache_size() == (1 if n2 <= 8
+                                                      else 2)
+        finally:
+            eng.shutdown()
+
+    def test_warmup_covers_both_stages(self, stream_engine):
+        eng = self._engine(stream_engine, vocode_buckets=(8,))
+        try:
+            out = eng.warmup()
+            # 2 batch buckets x 2 text buckets synth programs
+            # + 2 batch buckets x 2 frame buckets vocode programs
+            assert out["programs"] == 8
+            assert eng._synth_mel._cache_size() >= 4
+            assert eng._vocode_norm._cache_size() >= 4
+        finally:
+            eng.shutdown()
+
+
 class TestLifecycle:
     """Engine shutdown: clean worker exit, refused new work, freed
     device references (the runtime model-unload building block)."""
