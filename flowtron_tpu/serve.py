@@ -35,6 +35,12 @@ POST /models      {"name", "config", "checkpoint", "vocoder"?}
                   taken). DELETE /models/<name> unloads one: the
                   engine drains, active streams finish, device memory
                   is freed (409 for the last resident model).
+POST /profile     {"seconds": 1.0, "dir"?} -> capture a jax.profiler
+                  device trace under load; returns the trace dir for
+                  TensorBoard. One capture at a time (409). For live
+                  on-demand profiling, --profiler-port starts
+                  jax.profiler.start_server for the TensorBoard
+                  profile plugin.
 
 Scale-out: --replicas N (or 'auto') keeps N independent single-device
 copies of the whole request chain and round-robins micro-batches across
@@ -1137,6 +1143,7 @@ def make_handler(engine, loader=None):
     reg_lock = threading.Lock()
     reg = {"default": next(iter(engines)), "loading": set()}
     multi = len(engines) > 1 or loader is not None
+    profile_lock = threading.Lock()  # one trace capture at a time
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer for /stream
@@ -1187,6 +1194,39 @@ def make_handler(engine, loader=None):
                 self._do_stream_ws()
             else:
                 self._json(404, {"error": "not found"})
+
+        def _do_profile(self, req):
+            """POST /profile: capture a jax.profiler device trace for
+            `seconds` (clamped to 60) under whatever traffic is live,
+            writing TensorBoard-readable files under `dir` (a fresh
+            temp dir when omitted). Returns the directory; fetch it
+            with TensorBoard's profile plugin. 409 when a capture is
+            already running."""
+            import tempfile
+            try:
+                seconds = min(60.0, max(0.05,
+                                        float(req.get("seconds", 1.0))))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "seconds must be a number"})
+                return
+            trace_dir = req.get("dir") or tempfile.mkdtemp(
+                prefix="flowtron-trace-")
+            if not profile_lock.acquire(blocking=False):
+                self._json(409, {"error": "a profile capture is "
+                                 "already running"})
+                return
+            try:
+                import jax
+                jax.profiler.start_trace(trace_dir)
+                time.sleep(seconds)
+                jax.profiler.stop_trace()
+            except Exception as e:
+                self._json(500, {"error": repr(e)})
+                return
+            finally:
+                profile_lock.release()
+            self._json(200, {"trace_dir": trace_dir,
+                             "seconds": seconds})
 
         def do_DELETE(self):
             """DELETE /models/<name>: shut the engine down (drains its
@@ -1322,14 +1362,17 @@ def make_handler(engine, loader=None):
             if self.path == "/stream":
                 self._do_stream()
                 return
-            if self.path == "/models":
+            if self.path in ("/models", "/profile"):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
                 except Exception as e:
                     self._json(400, {"error": repr(e)})
                     return
-                self._do_load_model(req)
+                if self.path == "/models":
+                    self._do_load_model(req)
+                else:
+                    self._do_profile(req)
                 return
             if self.path != "/synthesize":
                 self._json(404, {"error": "not found"})
@@ -1451,6 +1494,11 @@ def main(argv=None):
                              "per-chip scale-out mode (throughput "
                              "saturates at max-batch 8 per chip); "
                              "incompatible with --mesh")
+    parser.add_argument("--profiler-port", type=int, default=0,
+                        help="start jax.profiler.start_server here so "
+                             "TensorBoard's profile plugin can capture "
+                             "on demand; POST /profile captures "
+                             "server-side without it")
     parser.add_argument("--vocode-buckets", default="",
                         help="comma list of mel-frame buckets (e.g. "
                              "'100,200') enabling gate/length-aware "
@@ -1511,6 +1559,11 @@ def main(argv=None):
                          f"got {spec!r}")
         engines[name] = build(parts[0], parts[1],
                               parts[2] if len(parts) > 2 else "")
+
+    if args.profiler_port:
+        import jax
+        jax.profiler.start_server(args.profiler_port)
+        print(f"jax profiler server on :{args.profiler_port}")
 
     if args.warmup:
         for name, eng in engines.items():

@@ -31,7 +31,7 @@ TEXTS = [
 
 
 def build_flagship_engine(max_batch=8, n_frames=400, batch_timeout_ms=30,
-                          bf16=True, quantize=""):
+                          bf16=True, quantize="", **engine_kwargs):
     """Flagship-dims SynthesisEngine on random weights, bf16, gate biased
     hard negative so every request carries the full n_frames of work —
     the worst case a deployment pays."""
@@ -79,7 +79,8 @@ def build_flagship_engine(max_batch=8, n_frames=400, batch_timeout_ms=30,
                              max_batch=max_batch,
                              batch_timeout_ms=batch_timeout_ms,
                              text_buckets=(64,), n_frames=n_frames,
-                             bf16=bf16, quantize=quantize)
+                             bf16=bf16, quantize=quantize,
+                             **engine_kwargs)
     # round-3 hardening rejects text past the largest bucket (no more
     # silent truncation) — fail fast if a benchmark text would 413
     for t in TEXTS:
@@ -88,7 +89,8 @@ def build_flagship_engine(max_batch=8, n_frames=400, batch_timeout_ms=30,
     return engine
 
 
-def run_load(engine, n_requests, concurrency, texts=TEXTS):
+def run_load(engine, n_requests, concurrency, texts=TEXTS,
+             n_frames=None):
     """One load pass; returns {req_per_s, x_realtime, p50_ms, p90_ms,
     p99_ms, max_ms, wall_s, audio_s}."""
     lat = []
@@ -102,7 +104,8 @@ def run_load(engine, n_requests, concurrency, texts=TEXTS):
             if i is None:
                 return
             t0 = time.perf_counter()
-            wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i)
+            wav, _ = engine.submit(texts[i % len(texts)], 0, seed=i,
+                                   n_frames=n_frames)
             dt = time.perf_counter() - t0
             with lock:
                 lat.append((dt, len(wav) / 22050.0))

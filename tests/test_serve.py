@@ -1265,3 +1265,30 @@ class TestRuntimeModels:
             assert ei.value.code == 501
         finally:
             srv.shutdown()
+
+
+class TestProfileEndpoint:
+    def test_profile_capture_writes_trace(self, engine, tmp_path):
+        import json
+        import os
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            body = json.dumps({"seconds": 0.2,
+                               "dir": str(tmp_path)}).encode()
+            req = urllib.request.Request(
+                url + "/profile", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.loads(r.read())
+            assert out["trace_dir"] == str(tmp_path)
+            files = [os.path.join(dp, f)
+                     for dp, _, fs in os.walk(tmp_path) for f in fs]
+            assert files, "no trace files written"
+        finally:
+            srv.shutdown()
