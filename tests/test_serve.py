@@ -1292,3 +1292,36 @@ class TestProfileEndpoint:
             assert files, "no trace files written"
         finally:
             srv.shutdown()
+
+
+class TestClientScript:
+    def test_client_synthesize_and_stream(self, stream_engine, tmp_path):
+        import subprocess
+        import sys
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                                  make_handler(stream_engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            for extra, name in (([], "plain.wav"),
+                                (["--stream"], "stream.wav")):
+                out = tmp_path / name
+                r = subprocess.run(
+                    [sys.executable, "scripts/tts_client.py",
+                     "Hello client.", "--url", url, "-o", str(out),
+                     "--seed", "9"] + extra,
+                    capture_output=True, text=True, timeout=300)
+                assert r.returncode == 0, r.stderr
+                data = out.read_bytes()
+                assert data[:4] == b"RIFF" and len(data) > 300
+            # error path: empty text -> nonzero exit, message on stderr
+            r = subprocess.run(
+                [sys.executable, "scripts/tts_client.py", "~~~",
+                 "--url", url, "-o", str(tmp_path / "x.wav")],
+                capture_output=True, text=True, timeout=120)
+            assert r.returncode == 1 and "HTTP 500" in r.stderr
+        finally:
+            srv.shutdown()
