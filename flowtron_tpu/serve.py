@@ -269,7 +269,6 @@ class SynthesisEngine:
         synth_vocode = None
         vocode_norm = None
         if self.wg is not None:
-            from flowtron_tpu.vocoder import waveglow_infer as _wg_infer
             _wg_cfg2 = self.wg[1]
 
             def synth_mel(params, seeds, sigmas, sids, text, in_lens,
@@ -289,9 +288,45 @@ class SynthesisEngine:
                                 mel, jnp.asarray(np.log(1e-5), mel.dtype))
                 return mel, n_valid
 
-            def vocode_norm(wgp, mel, n_valid):
-                audio = _wg_infer(wgp, _wg_cfg2, mel,
-                                  sigma=0.8).astype(jnp.float32)
+            _ng = _wg_cfg2["n_group"]
+            _nes = _wg_cfg2["n_early_size"]
+            _nee = _wg_cfg2["n_early_every"]
+            _nf_wg = _wg_cfg2["n_flows"]
+            from flowtron_tpu.vocoder.waveglow import (
+                waveglow_infer_z, waveglow_n_remaining)
+            _nrem = waveglow_n_remaining(_wg_cfg2)
+            _Tg_full = n_frames * 256 // _ng
+
+            def vocode_norm(wgp, mel, n_valid, seeds):
+                # per-request vocoder latents: keyed on the request
+                # seed (domain-separated from the mel latents) and
+                # drawn at the full n_frames length then sliced, so a
+                # request's audio realization does not depend on the
+                # batch-size bucket it lands in or the vocode frame
+                # bucket it shares — the previous PRNGKey(0)-at-batch-
+                # shape draw changed every sample when either varied
+                Tg = mel.shape[2] * 256 // _ng
+                keys = jax.vmap(lambda s: jax.random.fold_in(
+                    jax.random.PRNGKey(s), 1986))(seeds)
+
+                def row_z(k):
+                    zm = 0.8 * jax.random.normal(
+                        jax.random.fold_in(k, 0),
+                        (_nrem, _Tg_full), mel.dtype)
+                    zes = [
+                        0.8 * jax.random.normal(
+                            jax.random.fold_in(k, 1 + f),
+                            (_nes, _Tg_full), mel.dtype)
+                        if (f % _nee == 0 and f > 0) else None
+                        for f in range(_nf_wg)]
+                    return zm, zes
+
+                z_main, z_early = jax.vmap(row_z)(keys)
+                z_main = z_main[:, :, :Tg]
+                z_early = [None if z is None else z[:, :, :Tg]
+                           for z in z_early]
+                audio = waveglow_infer_z(wgp, _wg_cfg2, mel, z_main,
+                                         z_early).astype(jnp.float32)
                 n_samples = n_valid.astype(jnp.int32) * 256
                 valid = (jnp.arange(audio.shape[1])[None, :]
                          < n_samples[:, None])
@@ -306,14 +341,18 @@ class SynthesisEngine:
                 mel, n_valid = synth_mel(params, seeds, sigmas, sids,
                                          text, in_lens, temperature,
                                          frames_cap)
-                return vocode_norm(wgp, mel, n_valid), n_valid
+                return vocode_norm(wgp, mel, n_valid, seeds), n_valid
 
         self._synth_mel = self._vocode_norm = None
         self._vocode_buckets = None
         if vocode_buckets and self.wg is not None:
             bs = sorted({int(b) for b in vocode_buckets
                          if 0 < int(b) < n_frames})
-            self._vocode_buckets = tuple(bs) + (n_frames,)
+            if bs:
+                self._vocode_buckets = tuple(bs) + (n_frames,)
+            else:
+                print("WARNING: vocode_buckets has no bucket below "
+                      f"n_frames={n_frames}; staged vocoding disabled")
 
         self._batch_mult = 1
         if mesh_shape:
@@ -357,7 +396,11 @@ class SynthesisEngine:
             if self._vocode_buckets is not None:
                 self._synth_mel = jax.jit(synth_mel)
                 self._vocode_norm = jax.jit(vocode_norm)
-            elif synth_vocode is not None:
+            if synth_vocode is not None:
+                # kept alongside the staged pair: the dispatcher picks
+                # per batch — fused when every request runs full-length
+                # (no extra dispatch), staged when the batch's n_frames
+                # caps fit a smaller bucket (vocoder time scales down)
                 self._synth_vocode = jax.jit(synth_vocode)
 
         # data-parallel replicas: N independent single-device copies of
@@ -438,6 +481,11 @@ class SynthesisEngine:
 
         self._stream_workers = max(1, int(stream_workers))
         self._closed = False
+        # makes the closed-check + enqueue/pool-checkout atomic against
+        # shutdown(): without it a submit could pass the check, lose the
+        # CPU, and enqueue into a queue shutdown already drained — its
+        # done.wait() would then block forever
+        self._lifecycle_lock = threading.Lock()
         # bounded: overload returns 429 instead of unbounded latency
         self._queue = queue.Queue(maxsize=max(1, int(max_queue)))
         # dispatch/complete pipeline: maxsize=1 means at most two
@@ -516,20 +564,27 @@ class SynthesisEngine:
             raise
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
         # EAGER pool checkout: overload surfaces here as 429, before
-        # the caller commits to a 200 + chunked response
+        # the caller commits to a 200 + chunked response. The pool
+        # object is captured under the lifecycle lock (shutdown() nulls
+        # the attribute).
+        with self._lifecycle_lock:
+            if self._closed or self._stream_pool is None:
+                raise RuntimeError("engine is shut down")
+            pool = self._stream_pool
         try:
-            pair = self._stream_pool.get(
-                timeout=self.stream_acquire_timeout)
+            pair = pool.get(timeout=self.stream_acquire_timeout)
         except queue.Empty:
+            if self._closed:  # shutdown reclaimed the pairs meanwhile
+                raise RuntimeError("engine is shut down")
             self._count("rejected_overload")
             raise EngineOverloaded(
                 "all streaming workers busy; retry later")
         self._count("stream_requests")
-        return self._stream_gen(pair, segments, sid, sigma, seed,
+        return self._stream_gen(pool, pair, segments, sid, sigma, seed,
                                 n_frames, temperature)
 
-    def _stream_gen(self, pair, segments, sid, sigma, seed, n_frames,
-                    temperature):
+    def _stream_gen(self, pool, pair, segments, sid, sigma, seed,
+                    n_frames, temperature):
         """The producer thread owns the checked-out streamer pair;
         chunks cross to the caller through a bounded queue. The thread
         starts EAGERLY (not at first next()), so the pair always returns
@@ -540,9 +595,6 @@ class SynthesisEngine:
         jnp = self.jnp
         out_q = queue.Queue(maxsize=4)
         cancel = threading.Event()
-        # capture the pool OBJECT: shutdown() nulls the attribute, but a
-        # stream that outlives it must still return its pair somewhere
-        pool = self._stream_pool
 
         def produce():
             err = None
@@ -650,17 +702,22 @@ class SynthesisEngine:
             slot = {}
             item = (ids, speaker_id, sigma, int(seed) + i, n_frames,
                     temperature, slot, done)
-            try:
-                self._queue.put_nowait(item)
-            except queue.Full:
-                self._count("rejected_overload")
-                # already-queued segments have no waiter: mark them so
-                # the worker skips their (discarded) synthesis
-                for s, _d in slots:
-                    s["cancelled"] = True
-                raise EngineOverloaded(
-                    f"request queue full ({self._queue.maxsize}); "
-                    "retry later")
+            with self._lifecycle_lock:
+                if self._closed:  # atomic vs shutdown's queue drain
+                    for s, _d in slots:
+                        s["cancelled"] = True
+                    raise RuntimeError("engine is shut down")
+                try:
+                    self._queue.put_nowait(item)
+                except queue.Full:
+                    self._count("rejected_overload")
+                    # already-queued segments have no waiter: mark them
+                    # so the worker skips their (discarded) synthesis
+                    for s, _d in slots:
+                        s["cancelled"] = True
+                    raise EngineOverloaded(
+                        f"request queue full ({self._queue.maxsize}); "
+                        "retry later")
             slots.append((slot, done))
         for slot, done in slots:
             done.wait()
@@ -841,14 +898,31 @@ class SynthesisEngine:
             with self._metrics_lock:
                 self._metrics["replica_batches"][r] += 1
 
+        # per-batch path choice (measured, scripts/exp_vocode_buckets.py
+        # on v5e): staged vocoding wins +42% req/s when the batch's
+        # n_frames caps fit a sub-n_frames bucket, but costs two extra
+        # tunnel dispatches when the batch runs full-length — so a batch
+        # whose caps don't fit a smaller bucket keeps the fused
+        # one-dispatch chain. Gate-only early endings (no client cap)
+        # are unknown host-side and also stay fused.
+        staged = False
         if self._synth_mel is not None:
+            if self._synth_vocode is None:  # forced (tests/operators)
+                staged = True
+            else:
+                sub = [b for b in self._vocode_buckets
+                       if b < self.n_frames]
+                staged = bool(sub) and int(
+                    frames_cap[:len(batch)].max()) <= sub[-1]
+        if staged:
             # two-stage: mel now; the completion thread fetches n_valid
             # and vocodes at the smallest covering frame bucket
             mel_dev, n_valid_dev = self._synth_mel(
                 params, jnp.asarray(seeds), jnp.asarray(sigmas),
                 jnp.asarray(sids), jnp.asarray(text_pad),
                 jnp.asarray(in_lens), temp_arg, jnp.asarray(frames_cap))
-            return ("staged", (mel_dev, wgp), n_valid_dev, None)
+            return ("staged", (mel_dev, wgp, jnp.asarray(seeds)),
+                    n_valid_dev, None)
         if self._synth_vocode is not None:
             # latents -> mel -> vocoder -> int16, ONE device dispatch
             audio_dev, n_valid_dev = self._synth_vocode(
@@ -878,14 +952,15 @@ class SynthesisEngine:
             audio_all = np.asarray(data_dev)
             n_valid = np.asarray(n_valid_dev)  # already frames_cap-capped
         elif kind == "staged":
-            mel_dev, wgp = data_dev
+            mel_dev, wgp, seeds_dev = data_dev
             n_valid = np.asarray(n_valid_dev)  # blocks on the synth
             need = max(1, int(n_valid[:len(batch)].max()))
             Nb = next(b for b in self._vocode_buckets if b >= need)
             mel_b = mel_dev[:, :, :Nb] if Nb < mel_dev.shape[2] \
                 else mel_dev
             audio_all = np.asarray(self._vocode_norm(wgp, mel_b,
-                                                     n_valid_dev))
+                                                     n_valid_dev,
+                                                     seeds_dev))
         else:
             mel = np.asarray(data_dev, np.float32)
             # per-request n_frames: cap the emitted length (synthesis
@@ -963,11 +1038,27 @@ class SynthesisEngine:
                         np.asarray(nv)
                         if Tk == self.text_buckets[0]:
                             # vocode programs key on (B, frame bucket),
-                            # not the text bucket — warm once per B
-                            for Nb in self._vocode_buckets:
+                            # not the text bucket — warm once per B.
+                            # Only sub-n_frames buckets: the auto rule
+                            # sends full-length batches down the fused
+                            # chain, so the full staged bucket is
+                            # unreachable (forced-staged use recompiles
+                            # it on demand).
+                            for Nb in self._vocode_buckets[:-1]:
                                 np.asarray(self._vocode_norm(
-                                    wgp, mel[:, :, :Nb], nv))
+                                    wgp, mel[:, :, :Nb], nv,
+                                    jnp.asarray(seeds)))
                                 n += 1
+                        if self._synth_vocode is not None:
+                            # the fused chain stays the full-length
+                            # fallback when buckets are on — warm it too
+                            _, nv = self._synth_vocode(
+                                params, wgp, jnp.asarray(seeds),
+                                jnp.asarray(sigmas), jnp.asarray(sids),
+                                jnp.asarray(text), jnp.asarray(in_lens),
+                                temp, jnp.asarray(caps))
+                            np.asarray(nv)
+                            n += 1
                     elif self._synth_vocode is not None:
                         audio, nv = self._synth_vocode(
                             params, wgp, jnp.asarray(seeds),
@@ -994,10 +1085,13 @@ class SynthesisEngine:
         """Stop serving and release device memory (runtime model
         unload). New submit/stream calls raise immediately; requests
         already dispatched complete; active streams run to their end
-        before their streamer pair is reclaimed. Safe to call twice."""
-        if self._closed:
-            return
-        self._closed = True
+        before their streamer pair is reclaimed. Safe to call twice
+        (the second caller returns immediately, possibly before the
+        first finishes tearing down)."""
+        with self._lifecycle_lock:
+            if self._closed:
+                return
+            self._closed = True
         # wake the dispatcher (it forwards the sentinel to the
         # completion thread). A full queue can't block us forever: new
         # submits are refused, so drain-and-fail until the put lands.
@@ -1027,12 +1121,13 @@ class SynthesisEngine:
         # reclaim the streamer pairs: each active stream returns its
         # pair to the pool when it finishes (stream() already refuses
         # new checkouts via _closed)
-        if self._stream_pool is not None:
+        pool = self._stream_pool
+        if pool is not None:
             deadline = time.time() + timeout
             got = 0
             while got < self._stream_workers and time.time() < deadline:
                 try:
-                    self._stream_pool.get(timeout=0.2)
+                    pool.get(timeout=0.2)
                     got += 1
                 except queue.Empty:
                     pass
@@ -1142,7 +1237,6 @@ def make_handler(engine, loader=None):
         raise ValueError("no models given")
     reg_lock = threading.Lock()
     reg = {"default": next(iter(engines)), "loading": set()}
-    multi = len(engines) > 1 or loader is not None
     profile_lock = threading.Lock()  # one trace capture at a time
 
     class Handler(BaseHTTPRequestHandler):
@@ -1170,6 +1264,10 @@ def make_handler(engine, loader=None):
             with reg_lock:
                 snap = dict(engines)
                 default_name = reg["default"]
+            # keyed-by-model shapes only when actually multi-model, so
+            # a plain single-model deployment keeps the flat /metrics
+            # and /healthz responses regardless of loader availability
+            multi = len(snap) > 1
             if self.path == "/healthz":
                 depths = {n: e.queue_depth for n, e in snap.items()}
                 out = {"status": "ok", "queue_depth": sum(depths.values())}
@@ -1277,12 +1375,15 @@ def make_handler(engine, loader=None):
             try:
                 eng = loader(config_path, ckpt, req.get("vocoder", ""))
             except Exception as e:
-                self._json(500, {"error": repr(e)})
-                return
-            finally:
                 with reg_lock:
                     reg["loading"].discard(name)
+                self._json(500, {"error": repr(e)})
+                return
+            # discard + insert atomically: a gap between them would let
+            # a concurrent load of the same name win the slot and leak
+            # this engine's threads and device memory
             with reg_lock:
+                reg["loading"].discard(name)
                 engines[name] = eng
             self._json(200, {"loaded": name,
                              "can_stream": eng.can_stream})
@@ -1588,9 +1689,11 @@ def main(argv=None):
     print(f"serving on :{args.port} (max_batch={args.max_batch}, "
           f"models={list(engines)})")
     server.serve_forever()
-    # SIGTERM/SIGINT path: in-flight HTTP handlers have returned; drain
-    # each engine's queue and release device memory before exit
-    for eng in engines.values():
+    # SIGTERM/SIGINT path. ThreadingHTTPServer handler threads are
+    # daemonic and may still be running — snapshot the dict (a late
+    # POST /models could still mutate it) and drain every engine;
+    # shutdown() waits for dispatched work before dropping memory.
+    for eng in list(engines.values()):
         eng.shutdown()
     print("shutdown complete")
 

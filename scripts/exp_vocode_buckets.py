@@ -38,9 +38,17 @@ def main():
     concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     results = {}
 
-    for name, kwargs in (("fused", {}),
-                         ("staged", {"vocode_buckets": (100,)})):
+    # three modes: fused (default), auto (shipped --vocode-buckets
+    # behavior: per-batch choice, full-length batches stay fused), and
+    # forced-staged (synth_vocode removed so every batch goes two-stage
+    # — isolates the staged path's full-length cost)
+    for name, kwargs, force in (
+            ("fused", {}, False),
+            ("auto", {"vocode_buckets": (100,)}, False),
+            ("staged", {"vocode_buckets": (100,)}, True)):
         engine = build_flagship_engine(**kwargs)
+        if force:
+            engine._synth_vocode = None
         print(f"[{name}] warmup: {engine.warmup()}", flush=True)
         # one cold load pass per mix to compile any remaining variants
         for nf, mix in ((None, "full"), (100, "short")):

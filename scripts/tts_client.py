@@ -36,6 +36,7 @@ def main(argv=None):
                         "than its largest bucket")
     p.add_argument("--stream", action="store_true",
                    help="POST /stream: write audio as synthesis runs")
+    p.add_argument("--timeout", type=float, default=300.0)
     args = p.parse_args(argv)
 
     body = {"text": args.text, "speaker_id": args.speaker_id,
@@ -54,7 +55,7 @@ def main(argv=None):
         headers={"Content-Type": "application/json"})
     t0 = time.perf_counter()
     try:
-        with urllib.request.urlopen(req) as r, \
+        with urllib.request.urlopen(req, timeout=args.timeout) as r, \
                 open(args.output, "wb") as f:
             if args.stream:
                 first = None
@@ -81,6 +82,9 @@ def main(argv=None):
         except Exception:
             msg = ""
         print(f"HTTP {e.code}: {msg}", file=sys.stderr)
+        return 1
+    except (urllib.error.URLError, OSError) as e:
+        print(f"connection failed: {e}", file=sys.stderr)
         return 1
     return 0
 

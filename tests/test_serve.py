@@ -1054,12 +1054,15 @@ class TestVocodeBuckets:
                                text_buckets=(16, 32), n_frames=48, **kw)
 
     def test_staged_matches_fused_audio(self, stream_engine):
-        # single full-length bucket: the staged path runs exactly the
-        # fused epilogue ops (program split may reassociate floats, so
-        # compare to 1 int16 LSB, not bitwise)
-        staged = self._engine(stream_engine, vocode_buckets=(48,))
+        # force the staged path at the full-length bucket (the auto
+        # rule would pick fused): it runs exactly the fused epilogue
+        # ops with the same per-request latents (program split may
+        # reassociate floats, so compare to 1 int16 LSB, not bitwise)
+        staged = self._engine(stream_engine, vocode_buckets=(24,))
         assert staged._synth_mel is not None
-        assert staged._vocode_buckets == (48,)
+        assert staged._vocode_buckets == (24, 48)
+        staged._synth_vocode = None   # force staged for every batch
+        staged._vocode_buckets = (48,)  # pin the full-length bucket
         try:
             got, _ = staged.submit("Hello staged.", 0, seed=21)
             want, _ = stream_engine.submit("Hello staged.", 0, seed=21)
@@ -1079,11 +1082,10 @@ class TestVocodeBuckets:
             wav2, _ = eng.submit("Hello much longer text here.", 0,
                                  seed=6)
             assert len(wav2) % 256 == 0
-            # a past-8-frames utterance compiles the (B,48) program; an
-            # early random-init gate legitimately stays in the small one
-            n2 = len(wav2) // 256
-            assert eng._vocode_norm._cache_size() == (1 if n2 <= 8
-                                                      else 2)
+            # no n_frames cap -> the auto rule keeps the batch on the
+            # fused one-dispatch chain (no staged program compiled)
+            assert eng._vocode_norm._cache_size() == 1
+            assert eng._synth_vocode._cache_size() == 1
         finally:
             eng.shutdown()
 
@@ -1091,13 +1093,49 @@ class TestVocodeBuckets:
         eng = self._engine(stream_engine, vocode_buckets=(8,))
         try:
             out = eng.warmup()
-            # 2 batch buckets x 2 text buckets synth programs
-            # + 2 batch buckets x 2 frame buckets vocode programs
-            assert out["programs"] == 8
+            # 2 batch buckets x 2 text buckets synth-mel programs
+            # + 2 batch buckets x 1 reachable (sub-n_frames) vocode
+            # + 2 batch buckets x 2 text buckets fused-fallback programs
+            assert out["programs"] == 10
             assert eng._synth_mel._cache_size() >= 4
-            assert eng._vocode_norm._cache_size() >= 4
+            assert eng._vocode_norm._cache_size() >= 2
+            assert eng._synth_vocode._cache_size() >= 4
         finally:
             eng.shutdown()
+
+    def test_no_sub_bucket_disables_staged(self, stream_engine):
+        # vocode_buckets with nothing below n_frames would build a dead
+        # staged program set; it must be disabled with a warning
+        eng = self._engine(stream_engine, vocode_buckets=(48, 60))
+        try:
+            assert eng._synth_mel is None
+            assert eng._vocode_buckets is None
+            wav, _ = eng.submit("Still serves fused.", 0, seed=3)
+            assert len(wav) > 0
+        finally:
+            eng.shutdown()
+
+    def test_audio_independent_of_batch_composition(self, stream_engine):
+        # per-request vocoder latents: the same request returns the
+        # same audio whether it runs alone or co-batched (the old
+        # PRNGKey(0)-at-batch-shape draw broke this)
+        solo, _ = stream_engine.submit("Determinism check.", 0, seed=77)
+        got = {}
+
+        def req(text, seed, key):
+            got[key] = stream_engine.submit(text, 0, seed=seed)[0]
+
+        ts = [threading.Thread(target=req,
+                               args=("Determinism check.", 77, "a")),
+              threading.Thread(target=req,
+                               args=("A different neighbor.", 5, "b"))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(got["a"]) == len(solo)
+        assert np.abs(got["a"].astype(np.int32)
+                      - solo.astype(np.int32)).max() <= 1
 
 
 class TestLifecycle:
