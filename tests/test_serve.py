@@ -1137,6 +1137,25 @@ class TestVocodeBuckets:
         assert np.abs(got["a"].astype(np.int32)
                       - solo.astype(np.int32)).max() <= 1
 
+    def test_staged_composes_with_replicas(self, stream_engine):
+        # staged handles carry the replica's committed params/wgp, so
+        # the bucketed vocode runs on the same device as its synth
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(stream_engine.config,
+                              stream_engine._ckpt_path,
+                              waveglow_path=stream_engine._waveglow_path,
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=48,
+                              replicas=2, vocode_buckets=(8,))
+        try:
+            wavs = [eng.submit("Replica bucket check.", 0, seed=s,
+                               n_frames=6)[0] for s in (1, 2, 3)]
+            assert all(256 <= len(w) <= 6 * 256 for w in wavs)
+            assert sum(eng.metrics()["replica_batches"]) >= 3
+            assert all(c > 0 for c in eng.metrics()["replica_batches"])
+        finally:
+            eng.shutdown()
+
 
 class TestLifecycle:
     """Engine shutdown: clean worker exit, refused new work, freed
