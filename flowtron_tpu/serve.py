@@ -475,7 +475,12 @@ class SynthesisEngine:
                          "audio_seconds": 0.0, "stream_requests": 0,
                          "rejected_too_long": 0, "rejected_overload": 0,
                          "text_clamped": 0, "stream_stalls": 0,
-                         "replica_batches": [0] * self._n_replicas}
+                         "replica_batches": [0] * self._n_replicas,
+                         # staged (two-stage vocode) observability:
+                         # which frame buckets batches actually land in
+                         "staged_batches": 0,
+                         "vocode_bucket_hits": dict.fromkeys(
+                             self._vocode_buckets or (), 0)}
         self._recent_batch_ms = []
         self._metrics_lock = threading.Lock()
 
@@ -815,6 +820,8 @@ class SynthesisEngine:
             recent = list(self._recent_batch_ms)
             out = dict(self._metrics)
             out["replica_batches"] = list(out["replica_batches"])
+            out["vocode_bucket_hits"] = {
+                str(k): v for k, v in out["vocode_bucket_hits"].items()}
         out["queue_depth"] = self.queue_depth
         if recent:
             r = sorted(recent)
@@ -961,6 +968,10 @@ class SynthesisEngine:
             audio_all = np.asarray(self._vocode_norm(wgp, mel_b,
                                                      n_valid_dev,
                                                      seeds_dev))
+            with self._metrics_lock:
+                self._metrics["staged_batches"] += 1
+                self._metrics["vocode_bucket_hits"][Nb] = \
+                    self._metrics["vocode_bucket_hits"].get(Nb, 0) + 1
         else:
             mel = np.asarray(data_dev, np.float32)
             # per-request n_frames: cap the emitted length (synthesis

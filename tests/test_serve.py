@@ -1086,6 +1086,9 @@ class TestVocodeBuckets:
             # fused one-dispatch chain (no staged program compiled)
             assert eng._vocode_norm._cache_size() == 1
             assert eng._synth_vocode._cache_size() == 1
+            m = eng.metrics()
+            assert m["staged_batches"] == 1
+            assert m["vocode_bucket_hits"]["8"] == 1
         finally:
             eng.shutdown()
 
