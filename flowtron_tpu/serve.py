@@ -912,15 +912,10 @@ class SynthesisEngine:
         # whose caps don't fit a smaller bucket keeps the fused
         # one-dispatch chain. Gate-only early endings (no client cap)
         # are unknown host-side and also stay fused.
-        staged = False
-        if self._synth_mel is not None:
-            if self._synth_vocode is None:  # forced (tests/operators)
-                staged = True
-            else:
-                sub = [b for b in self._vocode_buckets
-                       if b < self.n_frames]
-                staged = bool(sub) and int(
-                    frames_cap[:len(batch)].max()) <= sub[-1]
+        staged = self._synth_mel is not None and (
+            self._synth_vocode is None  # forced (tests/operators)
+            or int(frames_cap[:len(batch)].max())
+            <= self._vocode_buckets[-2])
         if staged:
             # two-stage: mel now; the completion thread fetches n_valid
             # and vocodes at the smallest covering frame bucket
@@ -970,8 +965,7 @@ class SynthesisEngine:
                                                      seeds_dev))
             with self._metrics_lock:
                 self._metrics["staged_batches"] += 1
-                self._metrics["vocode_bucket_hits"][Nb] = \
-                    self._metrics["vocode_bucket_hits"].get(Nb, 0) + 1
+                self._metrics["vocode_bucket_hits"][Nb] += 1
         else:
             mel = np.asarray(data_dev, np.float32)
             # per-request n_frames: cap the emitted length (synthesis
@@ -1034,18 +1028,21 @@ class SynthesisEngine:
                 for Tk in self.text_buckets:
                     text = np.zeros((B, Tk), np.int64)
                     text[:, 0] = 1
-                    in_lens = np.ones((B,), np.int64)
-                    sids = np.zeros((B,), np.int64)
-                    seeds = np.zeros((B,), np.int64)
-                    sigmas = np.full((B,), 0.5, np.float32)
+                    seeds = jnp.asarray(np.zeros((B,), np.int64))
+                    sigmas = jnp.asarray(np.full((B,), 0.5, np.float32))
                     temp = jnp.asarray(1.0, jnp.float32)
-                    caps = np.full((B,), self.n_frames, np.int64)
+                    # (seeds, sigmas, sids, text, in_lens, temp, caps):
+                    # the shared tail of both vocoder entry points,
+                    # marshaled from numpy exactly like _dispatch_batch
+                    tail = (seeds, sigmas,
+                            jnp.asarray(np.zeros((B,), np.int64)),
+                            jnp.asarray(text),
+                            jnp.asarray(np.ones((B,), np.int64)),
+                            temp,
+                            jnp.asarray(np.full((B,), self.n_frames,
+                                                np.int64)))
                     if self._synth_mel is not None:
-                        mel, nv = self._synth_mel(
-                            params, jnp.asarray(seeds),
-                            jnp.asarray(sigmas), jnp.asarray(sids),
-                            jnp.asarray(text), jnp.asarray(in_lens),
-                            temp, jnp.asarray(caps))
+                        mel, nv = self._synth_mel(params, *tail)
                         np.asarray(nv)
                         if Tk == self.text_buckets[0]:
                             # vocode programs key on (B, frame bucket),
@@ -1057,37 +1054,25 @@ class SynthesisEngine:
                             # it on demand).
                             for Nb in self._vocode_buckets[:-1]:
                                 np.asarray(self._vocode_norm(
-                                    wgp, mel[:, :, :Nb], nv,
-                                    jnp.asarray(seeds)))
+                                    wgp, mel[:, :, :Nb], nv, seeds))
                                 n += 1
-                        if self._synth_vocode is not None:
-                            # the fused chain stays the full-length
-                            # fallback when buckets are on — warm it too
-                            _, nv = self._synth_vocode(
-                                params, wgp, jnp.asarray(seeds),
-                                jnp.asarray(sigmas), jnp.asarray(sids),
-                                jnp.asarray(text), jnp.asarray(in_lens),
-                                temp, jnp.asarray(caps))
-                            np.asarray(nv)
-                            n += 1
-                    elif self._synth_vocode is not None:
-                        audio, nv = self._synth_vocode(
-                            params, wgp, jnp.asarray(seeds),
-                            jnp.asarray(sigmas), jnp.asarray(sids),
-                            jnp.asarray(text), jnp.asarray(in_lens),
-                            temp, jnp.asarray(caps))
+                    if self._synth_vocode is not None:
+                        # with buckets on, the fused chain remains the
+                        # full-length fallback — warm it as well
+                        _, nv = self._synth_vocode(params, wgp, *tail)
                         np.asarray(nv)
-                    else:
-                        res = self._sample_z(jnp.asarray(seeds),
-                                             jnp.asarray(sigmas))
+                        if self._synth_mel is not None:
+                            n += 1
+                    if self._synth_mel is None \
+                            and self._synth_vocode is None:
+                        res = self._sample_z(seeds, sigmas)
                         if self._bf16:
                             res = res.astype(jnp.bfloat16)
                         if rep_dev is not None:
                             res = self.jax.device_put(res, rep_dev)
-                        _, _, nv = self._synth(
-                            params, res, jnp.asarray(sids),
-                            jnp.asarray(text), jnp.asarray(in_lens),
-                            temp)
+                        # tail[2:5] = (sids, text, in_lens)
+                        _, _, nv = self._synth(params, res, *tail[2:5],
+                                               temp)
                         np.asarray(nv)
                     n += 1
         return {"programs": n, "seconds": round(time.time() - t0, 2)}
@@ -1345,18 +1330,23 @@ def make_handler(engine, loader=None):
                 self._json(404, {"error": "not found"})
                 return
             name = self.path[len("/models/"):]
+            # decide under the lock, write the response outside it — a
+            # slow client socket must not block all registry operations
+            eng = err = None
             with reg_lock:
                 if name not in engines:
-                    self._json(404, {"error": f"unknown model {name!r}"})
-                    return
-                if len(engines) == 1:
-                    self._json(409, {"error": "cannot unload the last "
-                                     "resident model"})
-                    return
-                eng = engines.pop(name)
-                if reg["default"] == name:
-                    reg["default"] = next(iter(engines))
-                new_default = reg["default"]
+                    err = (404, {"error": f"unknown model {name!r}"})
+                elif len(engines) == 1:
+                    err = (409, {"error": "cannot unload the last "
+                                 "resident model"})
+                else:
+                    eng = engines.pop(name)
+                    if reg["default"] == name:
+                        reg["default"] = next(iter(engines))
+                    new_default = reg["default"]
+            if err is not None:
+                self._json(*err)
+                return
             eng.shutdown()
             self._json(200, {"unloaded": name, "default": new_default})
 
@@ -1378,11 +1368,13 @@ def make_handler(engine, loader=None):
                 self._json(400, {"error": f"missing field {e}"})
                 return
             with reg_lock:
-                if name in engines or name in reg["loading"]:
-                    self._json(409, {"error": f"model {name!r} is "
-                                     "already loaded (or loading)"})
-                    return
-                reg["loading"].add(name)
+                taken = name in engines or name in reg["loading"]
+                if not taken:
+                    reg["loading"].add(name)
+            if taken:  # respond outside the lock
+                self._json(409, {"error": f"model {name!r} is "
+                                 "already loaded (or loading)"})
+                return
             try:
                 eng = loader(config_path, ckpt, req.get("vocoder", ""))
             except Exception as e:
