@@ -154,7 +154,7 @@ class SynthesisEngine:
                  mesh_shape=None, bf16=False, max_queue=64,
                  stream_stall_timeout=30.0, stream_workers=2,
                  stream_acquire_timeout=5.0, replicas=1,
-                 vocode_buckets=None):
+                 vocode_buckets=None, denoise=0.0):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -268,6 +268,7 @@ class SynthesisEngine:
         self._synth_vocode = None
         synth_vocode = None
         vocode_norm = None
+        self._denoise = float(denoise or 0.0)
         if self.wg is not None:
             _wg_cfg2 = self.wg[1]
 
@@ -287,6 +288,22 @@ class SynthesisEngine:
                 mel = jnp.where(valid_f[:, None, :],
                                 mel, jnp.asarray(np.log(1e-5), mel.dtype))
                 return mel, n_valid
+
+            # WaveGlow bias denoiser (reference notebook cell 7; the
+            # inference CLI's -d): bias spectrum estimated once at init,
+            # spectral subtraction runs INSIDE the jitted chain. The
+            # batch path only — streamed chunks would need overlap-aware
+            # framing at chunk boundaries.
+            denoiser = None
+            if denoise and float(denoise) > 0:
+                from flowtron_tpu.vocoder.denoiser import Denoiser
+                dc = self.data_config
+                denoiser = Denoiser(
+                    self.wg[0], _wg_cfg2,
+                    filter_length=dc["filter_length"],
+                    hop_length=dc["hop_length"],
+                    win_length=dc["win_length"],
+                    n_mel_channels=self.static_cfg["n_mel_channels"])
 
             _ng = _wg_cfg2["n_group"]
             _nes = _wg_cfg2["n_early_size"]
@@ -327,6 +344,14 @@ class SynthesisEngine:
                            for z in z_early]
                 audio = waveglow_infer_z(wgp, _wg_cfg2, mel, z_main,
                                          z_early).astype(jnp.float32)
+                if denoiser is not None:
+                    T = audio.shape[1]
+                    audio = denoiser(audio, strength=self._denoise)
+                    # ISTFT framing can shorten the tail; restore the
+                    # static length so the sample mask below lines up
+                    audio = jnp.pad(
+                        audio, ((0, 0),
+                                (0, max(0, T - audio.shape[1]))))[:, :T]
                 n_samples = n_valid.astype(jnp.int32) * 256
                 valid = (jnp.arange(audio.shape[1])[None, :]
                          < n_samples[:, None])
@@ -1598,6 +1623,11 @@ def main(argv=None):
                              "per-chip scale-out mode (throughput "
                              "saturates at max-batch 8 per chip); "
                              "incompatible with --mesh")
+    parser.add_argument("-d", "--denoise", type=float, default=0.0,
+                        help="WaveGlow bias-denoiser strength applied "
+                             "on device in the batch path (0 = off; "
+                             "same semantics as the inference CLI's -d;"
+                             " needs -w)")
     parser.add_argument("--profiler-port", type=int, default=0,
                         help="start jax.profiler.start_server here so "
                              "TensorBoard's profile plugin can capture "
@@ -1651,7 +1681,8 @@ def main(argv=None):
             replicas=n_replicas,
             vocode_buckets=[int(x) for x in
                             args.vocode_buckets.split(",")]
-            if args.vocode_buckets else None)
+            if args.vocode_buckets else None,
+            denoise=args.denoise)
 
     engines = {"default": build(args.config, args.flowtron_path,
                                 args.waveglow_path)}

@@ -1327,6 +1327,27 @@ class TestRuntimeModels:
             srv.shutdown()
 
 
+class TestDenoise:
+    def test_denoised_engine_differs_and_stays_valid(self, stream_engine):
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(stream_engine.config,
+                              stream_engine._ckpt_path,
+                              waveglow_path=stream_engine._waveglow_path,
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=48,
+                              denoise=0.05)
+        try:
+            wav, sr = eng.submit("Denoise me please.", 0, seed=13)
+            ref, _ = stream_engine.submit("Denoise me please.", 0,
+                                          seed=13)
+            assert sr == 22050
+            assert len(wav) == len(ref) and len(wav) % 256 == 0
+            assert np.isfinite(wav.astype(np.float64)).all()
+            assert not np.array_equal(wav, ref)  # subtraction applied
+        finally:
+            eng.shutdown()
+
+
 class TestProfileEndpoint:
     def test_profile_capture_writes_trace(self, engine, tmp_path):
         import json
