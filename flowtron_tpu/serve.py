@@ -1308,6 +1308,10 @@ def make_handler(engine, loader=None):
                         "sampling_rate": e.data_config["sampling_rate"],
                         "n_speakers": e.config["model_config"]
                         .get("n_speakers"),
+                        # dataset speaker ids valid in "speaker_id"
+                        # (dense model indices are looked up for you)
+                        "speaker_ids": sorted(
+                            int(s) for s in e.frontend.speaker_ids),
                     } for n, e in snap.items()]})
             elif self.path == "/stream-ws":
                 self._do_stream_ws()

@@ -994,6 +994,7 @@ class TestMultiModel:
         assert m["default"] == "default"
         assert sorted(x["name"] for x in m["models"]) == ["alt", "default"]
         assert all(x["sampling_rate"] == 22050 for x in m["models"])
+        assert all(x["speaker_ids"] == [0] for x in m["models"])
 
     def test_routing_by_model_field(self, multi_server):
         """Same text + seed through the two engines (independent weight
