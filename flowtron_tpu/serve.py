@@ -1627,6 +1627,10 @@ def main(argv=None):
                              "per-chip scale-out mode (throughput "
                              "saturates at max-batch 8 per chip); "
                              "incompatible with --mesh")
+    parser.add_argument("--compile-cache", default="",
+                        help="persistent XLA compile-cache dir (pairs "
+                             "with --warmup: restarts reuse every "
+                             "bucket program instead of recompiling)")
     parser.add_argument("-d", "--denoise", type=float, default=0.0,
                         help="WaveGlow bias-denoiser strength applied "
                              "on device in the batch path (0 = off; "
@@ -1664,6 +1668,13 @@ def main(argv=None):
     from flowtron_tpu.cli import _apply_platform_override
     _apply_platform_override()
     from flowtron_tpu.config import load_config
+
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 
     if args.replicas == "auto":
         import jax
