@@ -314,7 +314,7 @@ class SynthesisEngine:
             _nrem = waveglow_n_remaining(_wg_cfg2)
             _Tg_full = n_frames * 256 // _ng
 
-            def vocode_norm(wgp, mel, n_valid, seeds):
+            def vocode_norm(wgp, mel, n_valid, seeds, strengths):
                 # per-request vocoder latents: keyed on the request
                 # seed (domain-separated from the mel latents) and
                 # drawn at the full n_frames length then sliced, so a
@@ -346,7 +346,8 @@ class SynthesisEngine:
                                          z_early).astype(jnp.float32)
                 if denoiser is not None:
                     T = audio.shape[1]
-                    audio = denoiser(audio, strength=self._denoise)
+                    audio = denoiser(audio,
+                                     strength=strengths[:, None, None])
                     # ISTFT framing can shorten the tail; restore the
                     # static length so the sample mask below lines up
                     audio = jnp.pad(
@@ -362,11 +363,13 @@ class SynthesisEngine:
                                 ).astype(jnp.int16)
 
             def synth_vocode(params, wgp, seeds, sigmas, sids, text,
-                             in_lens, temperature, frames_cap):
+                             in_lens, temperature, frames_cap,
+                             strengths):
                 mel, n_valid = synth_mel(params, seeds, sigmas, sids,
                                          text, in_lens, temperature,
                                          frames_cap)
-                return vocode_norm(wgp, mel, n_valid, seeds), n_valid
+                return vocode_norm(wgp, mel, n_valid, seeds,
+                                   strengths), n_valid
 
         self._synth_mel = self._vocode_norm = None
         self._vocode_buckets = None
@@ -404,7 +407,7 @@ class SynthesisEngine:
                 self._synth_vocode = jax.jit(
                     synth_vocode,
                     in_shardings=(pshard, repl, bshard, bshard, bshard,
-                                  bshard, bshard, None, bshard))
+                                  bshard, bshard, None, bshard, bshard))
         else:
             self._synth = jax.jit(synth)
             # gate/length-aware two-stage vocoding: the vocoder
@@ -699,17 +702,25 @@ class SynthesisEngine:
 
     # -- request path -----------------------------------------------------
     def submit(self, text, speaker_id=0, sigma=0.5, seed=1234,
-               n_frames=None, temperature=None, split=False):
+               n_frames=None, temperature=None, split=False,
+               denoise=None):
         """Blocking: returns (wav_int16, sample_rate).
 
         Raises TextTooLong when the text exceeds the largest bucket,
         unless split=True — then it is sentence-split and the segments
         are enqueued together (they coalesce into one micro-batch) and
         the audio concatenated. Raises EngineOverloaded when the
-        request queue is full.
+        request queue is full. `denoise` overrides the engine's -d
+        strength for this request (only on engines started with -d).
         """
         if self._closed:
             raise RuntimeError("engine is shut down")
+        if denoise is not None:
+            if not self._denoise:
+                raise ValueError(
+                    "per-request denoise requires an engine started "
+                    "with -d (the bias spectrum is estimated at init)")
+            denoise = float(denoise)
         try:
             ids = self._text_to_ids(text)
             pieces = [(text, ids)]
@@ -731,7 +742,7 @@ class SynthesisEngine:
             done = threading.Event()
             slot = {}
             item = (ids, speaker_id, sigma, int(seed) + i, n_frames,
-                    temperature, slot, done)
+                    temperature, denoise, slot, done)
             with self._lifecycle_lock:
                 if self._closed:  # atomic vs shutdown's queue drain
                     for s, _d in slots:
@@ -884,7 +895,9 @@ class SynthesisEngine:
         sigmas = np.full((B,), 0.5, np.float32)
         temps = np.ones((B,), np.float32)
         frames_cap = np.full((B,), self.n_frames, np.int64)
-        for b, (ids, sid, sigma, seed, nf, temp, _, _) in enumerate(batch):
+        strengths = np.full((B,), self._denoise, np.float32)
+        for b, (ids, sid, sigma, seed, nf, temp, dstr, _, _) in \
+                enumerate(batch):
             n = len(ids)
             if n > Tk:  # unreachable post-validation; never truncate
                 # silently — count and clamp defensively
@@ -900,6 +913,8 @@ class SynthesisEngine:
                 temps[b] = float(temp)
             if nf is not None:
                 frames_cap[b] = max(1, min(int(nf), self.n_frames))
+            if dstr is not None:
+                strengths[b] = dstr
         for b in range(len(batch), B):  # mesh padding: duplicate row 0
             text_pad[b], in_lens[b] = text_pad[0], in_lens[0]
             sids[b], seeds[b], sigmas[b] = sids[0], seeds[0], sigmas[0]
@@ -948,7 +963,8 @@ class SynthesisEngine:
                 params, jnp.asarray(seeds), jnp.asarray(sigmas),
                 jnp.asarray(sids), jnp.asarray(text_pad),
                 jnp.asarray(in_lens), temp_arg, jnp.asarray(frames_cap))
-            return ("staged", (mel_dev, wgp, jnp.asarray(seeds)),
+            return ("staged", (mel_dev, wgp, jnp.asarray(seeds),
+                               jnp.asarray(strengths)),
                     n_valid_dev, None)
         if self._synth_vocode is not None:
             # latents -> mel -> vocoder -> int16, ONE device dispatch
@@ -956,7 +972,7 @@ class SynthesisEngine:
                 params, wgp, jnp.asarray(seeds),
                 jnp.asarray(sigmas), jnp.asarray(sids),
                 jnp.asarray(text_pad), jnp.asarray(in_lens), temp_arg,
-                jnp.asarray(frames_cap))
+                jnp.asarray(frames_cap), jnp.asarray(strengths))
             return ("fused", audio_dev, n_valid_dev, None)
         # Griffin-Lim engines: latents + synth on device, vocode on
         # host per request (in the completion thread)
@@ -979,7 +995,7 @@ class SynthesisEngine:
             audio_all = np.asarray(data_dev)
             n_valid = np.asarray(n_valid_dev)  # already frames_cap-capped
         elif kind == "staged":
-            mel_dev, wgp, seeds_dev = data_dev
+            mel_dev, wgp, seeds_dev, strengths_dev = data_dev
             n_valid = np.asarray(n_valid_dev)  # blocks on the synth
             need = max(1, int(n_valid[:len(batch)].max()))
             Nb = next(b for b in self._vocode_buckets if b >= need)
@@ -987,7 +1003,8 @@ class SynthesisEngine:
                 else mel_dev
             audio_all = np.asarray(self._vocode_norm(wgp, mel_b,
                                                      n_valid_dev,
-                                                     seeds_dev))
+                                                     seeds_dev,
+                                                     strengths_dev))
             with self._metrics_lock:
                 self._metrics["staged_batches"] += 1
                 self._metrics["vocode_bucket_hits"][Nb] += 1
@@ -997,7 +1014,7 @@ class SynthesisEngine:
             # runs the engine-fixed latent length; this trims output)
             n_valid = np.minimum(np.asarray(n_valid_dev), frames_cap)
 
-        for b, (ids, sid, sigma, seed, nf, temp, slot, done) in \
+        for b, (ids, sid, sigma, seed, nf, temp, _dstr, slot, done) in \
                 enumerate(batch):
             n = max(1, int(n_valid[b]))
             if audio_all is not None:
@@ -1056,6 +1073,8 @@ class SynthesisEngine:
                     seeds = jnp.asarray(np.zeros((B,), np.int64))
                     sigmas = jnp.asarray(np.full((B,), 0.5, np.float32))
                     temp = jnp.asarray(1.0, jnp.float32)
+                    strengths = jnp.asarray(
+                        np.full((B,), self._denoise, np.float32))
                     # (seeds, sigmas, sids, text, in_lens, temp, caps):
                     # the shared tail of both vocoder entry points,
                     # marshaled from numpy exactly like _dispatch_batch
@@ -1079,12 +1098,14 @@ class SynthesisEngine:
                             # it on demand).
                             for Nb in self._vocode_buckets[:-1]:
                                 np.asarray(self._vocode_norm(
-                                    wgp, mel[:, :, :Nb], nv, seeds))
+                                    wgp, mel[:, :, :Nb], nv, seeds,
+                                    strengths))
                                 n += 1
                     if self._synth_vocode is not None:
                         # with buckets on, the fused chain remains the
                         # full-length fallback — warm it as well
-                        _, nv = self._synth_vocode(params, wgp, *tail)
+                        _, nv = self._synth_vocode(params, wgp, *tail,
+                                                   strengths)
                         np.asarray(nv)
                         if self._synth_mel is not None:
                             n += 1
@@ -1519,7 +1540,8 @@ def make_handler(engine, loader=None):
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
                     temperature=req.get("temperature"),
-                    split=bool(req.get("split", False)))
+                    split=bool(req.get("split", False)),
+                    denoise=req.get("denoise"))
                 body = _wav_bytes(wav, sr)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -1547,6 +1569,10 @@ def make_handler(engine, loader=None):
                 if not eng.can_stream:
                     self._json(501, {"error": "streaming requires a "
                                      "neural vocoder (-w)"})
+                    return
+                if req.get("denoise") is not None:
+                    self._json(400, {"error": "denoise is batch-path "
+                                     "only (POST /synthesize)"})
                     return
                 gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),

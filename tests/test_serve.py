@@ -1345,8 +1345,20 @@ class TestDenoise:
             assert len(wav) == len(ref) and len(wav) % 256 == 0
             assert np.isfinite(wav.astype(np.float64)).all()
             assert not np.array_equal(wav, ref)  # subtraction applied
+            # per-request strength override: a different strength
+            # changes the audio; identical strength reproduces it
+            w2, _ = eng.submit("Denoise me please.", 0, seed=13,
+                               denoise=0.5)
+            w3, _ = eng.submit("Denoise me please.", 0, seed=13,
+                               denoise=0.05)
+            assert not np.array_equal(w2, wav)
+            assert np.array_equal(w3, wav)
         finally:
             eng.shutdown()
+
+    def test_per_request_denoise_needs_engine_flag(self, stream_engine):
+        with pytest.raises(ValueError, match="requires an engine"):
+            stream_engine.submit("Hi.", 0, denoise=0.1)
 
 
 class TestProfileEndpoint:
