@@ -14,9 +14,35 @@ TPU under the driver; CPU if forced).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# A dead axon tunnel makes jax.devices() HANG (not error), which would
+# stall the driver forever. Probe device init in a subprocess with a
+# hard timeout and emit an honest one-line error artifact instead.
+if os.environ.get("FLOWTRON_BENCH_PROBED") != "1":
+    env = dict(os.environ, FLOWTRON_BENCH_PROBED="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            env=env, timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT",
+                                                  "180")),
+            capture_output=True, text=True)
+        probe_ok = out.returncode == 0
+        probe_msg = (out.stdout + out.stderr).strip()[-200:]
+    except subprocess.TimeoutExpired:
+        probe_ok, probe_msg = False, "device init timed out (tunnel down?)"
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "mel_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {probe_msg}"}))
+        sys.exit(1)
+
 import jax
 import jax.numpy as jnp
 
