@@ -1485,6 +1485,11 @@ def make_handler(engine, loader=None):
                           "vocoder (-w) on this model"})
                     _ws_send(self.wfile, b"\x03\xe8", 8)
                     return
+                if req.get("denoise") is not None:
+                    text({"error": "denoise is batch-path only "
+                          "(POST /synthesize)"})
+                    _ws_send(self.wfile, b"\x03\xe8", 8)
+                    return
                 gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
