@@ -74,6 +74,17 @@ def _run_streaming(config, args, params, static_cfg, text_ids, speaker_id,
     from flowtron_tpu.infer.streaming import stream_tts
 
     wg_params, wg_cfg = load_waveglow(args.waveglow_path)
+    sd = None
+    if getattr(args, "denoise", 0.0) > 0:
+        from flowtron_tpu.vocoder.denoiser import (Denoiser,
+                                                   StreamingDenoiser)
+        den = Denoiser(
+            wg_params, wg_cfg,
+            filter_length=data_config["filter_length"],
+            hop_length=data_config["hop_length"],
+            win_length=data_config["win_length"],
+            n_mel_channels=config["model_config"]["n_mel_channels"])
+        sd = StreamingDenoiser(den, strength=args.denoise)
     os.makedirs(args.output_dir, exist_ok=True)
     base = os.path.join(
         args.output_dir,
@@ -86,16 +97,26 @@ def _run_streaming(config, args, params, static_cfg, text_ids, speaker_id,
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(data_config["sampling_rate"])
+
+        def write(samples):
+            nonlocal n
+            if samples.size == 0:
+                return
+            pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+            n += len(pcm)
+            print(f"  +{len(pcm)/data_config['sampling_rate']:.2f}s audio "
+                  f"at t={time.perf_counter()-t0:.2f}s", flush=True)
+
         for chunk in stream_tts(
                 params, static_cfg, wg_params, wg_cfg,
                 jax.random.PRNGKey(args.seed), jnp.asarray([speaker_id]),
                 jnp.asarray(np.asarray(text_ids)[None]), sigma=args.sigma,
                 gate_threshold=args.gate, max_frames=args.n_frames):
-            pcm = (np.clip(chunk[0], -1, 1) * 32767).astype(np.int16)
-            w.writeframes(pcm.tobytes())
-            n += len(pcm)
-            print(f"  +{len(pcm)/data_config['sampling_rate']:.2f}s audio "
-                  f"at t={time.perf_counter()-t0:.2f}s", flush=True)
+            out = np.asarray(chunk[0])
+            write(sd.feed(out) if sd is not None else out)
+        if sd is not None:
+            write(sd.flush())
     print(f"wrote {base}.wav ({n/data_config['sampling_rate']:.2f}s)")
     return base
 

@@ -269,6 +269,7 @@ class SynthesisEngine:
         synth_vocode = None
         vocode_norm = None
         self._denoise = float(denoise or 0.0)
+        self._denoiser = None
         if self.wg is not None:
             _wg_cfg2 = self.wg[1]
 
@@ -290,10 +291,10 @@ class SynthesisEngine:
                 return mel, n_valid
 
             # WaveGlow bias denoiser (reference notebook cell 7; the
-            # inference CLI's -d): bias spectrum estimated once at init,
-            # spectral subtraction runs INSIDE the jitted chain. The
-            # batch path only — streamed chunks would need overlap-aware
-            # framing at chunk boundaries.
+            # inference CLI's -d): bias spectrum estimated once at init.
+            # Batch path: spectral subtraction runs INSIDE the jitted
+            # chain. Stream path: a host-side StreamingDenoiser applies
+            # the same subtraction with overlap-exact chunked framing.
             denoiser = None
             if denoise and float(denoise) > 0:
                 from flowtron_tpu.vocoder.denoiser import Denoiser
@@ -304,6 +305,9 @@ class SynthesisEngine:
                     hop_length=dc["hop_length"],
                     win_length=dc["win_length"],
                     n_mel_channels=self.static_cfg["n_mel_channels"])
+            # the stream path reuses the bias spectrum through a
+            # host-side StreamingDenoiser (exact chunked framing)
+            self._denoiser = denoiser
 
             _ng = _wg_cfg2["n_group"]
             _nes = _wg_cfg2["n_early_size"]
@@ -554,12 +558,16 @@ class SynthesisEngine:
         return ids
 
     def stream(self, text, speaker_id=0, sigma=0.5, seed=1234,
-               n_frames=None, temperature=None, split=False):
+               n_frames=None, temperature=None, split=False,
+               denoise=None):
         """Mono int16 PCM chunk generator (time-to-first-audio is one
         mel chunk + vocoder lookahead, plus the offline gated prelude
         for multi-flow models). Requires a loaded vocoder; amplitude
         uses a fixed clip scale (a streaming response cannot be
-        normalized to its own global peak).
+        normalized to its own global peak). Engines started with -d
+        denoise streamed audio too (host-side StreamingDenoiser, same
+        bias spectrum, overlap-exact at chunk boundaries); `denoise`
+        overrides the strength per request, like the batch path.
 
         split=True streams paragraph-length text as ONE continuous PCM
         stream: the text is sentence-split into bucket-sized segments
@@ -580,6 +588,14 @@ class SynthesisEngine:
             n_frames = max(1, min(int(n_frames), self.n_frames))
         if temperature is not None:
             temperature = float(temperature)
+        if denoise is not None:
+            if self._denoiser is None:
+                raise ValueError(
+                    "per-request denoise requires an engine started "
+                    "with -d (the bias spectrum is estimated at init)")
+            denoise = float(denoise)
+        else:
+            denoise = self._denoise
         try:
             ids = self.frontend.get_text(text)
             if len(ids) == 0:
@@ -614,10 +630,10 @@ class SynthesisEngine:
                 "all streaming workers busy; retry later")
         self._count("stream_requests")
         return self._stream_gen(pool, pair, segments, sid, sigma, seed,
-                                n_frames, temperature)
+                                n_frames, temperature, denoise)
 
     def _stream_gen(self, pool, pair, segments, sid, sigma, seed,
-                    n_frames, temperature):
+                    n_frames, temperature, denoise=0.0):
         """The producer thread owns the checked-out streamer pair;
         chunks cross to the caller through a bounded queue. The thread
         starts EAGERLY (not at first next()), so the pair always returns
@@ -629,11 +645,32 @@ class SynthesisEngine:
         out_q = queue.Queue(maxsize=4)
         cancel = threading.Event()
 
+        def emit(samples):
+            """float audio -> PCM16 on the queue; False aborts."""
+            if samples.size == 0:
+                return True
+            pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype(np.int16)
+            try:
+                out_q.put(pcm, timeout=self.stream_stall_timeout)
+                return True
+            except queue.Full:
+                self._count("stream_stalls")
+                return False
+
         def produce():
             err = None
             try:
                 mel_s, voc = pair
                 for si, ids in enumerate(segments):
+                    sd = None
+                    if denoise and denoise > 0:
+                        from flowtron_tpu.vocoder.denoiser import (
+                            StreamingDenoiser)
+                        # per segment, like the batch path's
+                        # per-utterance denoise (segments are separate
+                        # synthesized utterances)
+                        sd = StreamingDenoiser(self._denoiser,
+                                               strength=denoise)
                     n = len(ids)
                     Tk = self._bucket(n)
                     text_pad = np.zeros((1, Tk), np.int64)
@@ -652,13 +689,15 @@ class SynthesisEngine:
                             max_frames=n_frames):
                         if cancel.is_set():
                             return
-                        chunk = np.clip(audio[0], -1.0, 1.0)
-                        pcm = (chunk * 32767).astype(np.int16)
-                        try:
-                            out_q.put(pcm,
-                                      timeout=self.stream_stall_timeout)
-                        except queue.Full:
-                            self._count("stream_stalls")
+                        out = np.asarray(audio[0])
+                        if sd is not None:
+                            out = sd.feed(out)
+                        if not emit(out):
+                            return
+                    if sd is not None:
+                        if cancel.is_set():
+                            return
+                        if not emit(sd.flush()):
                             return
             except Exception as e:  # surfaced to the consumer
                 err = e
@@ -1485,17 +1524,13 @@ def make_handler(engine, loader=None):
                           "vocoder (-w) on this model"})
                     _ws_send(self.wfile, b"\x03\xe8", 8)
                     return
-                if req.get("denoise") is not None:
-                    text({"error": "denoise is batch-path only "
-                          "(POST /synthesize)"})
-                    _ws_send(self.wfile, b"\x03\xe8", 8)
-                    return
                 gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
                     temperature=req.get("temperature"),
-                    split=bool(req.get("split", False)))
+                    split=bool(req.get("split", False)),
+                    denoise=req.get("denoise"))
                 sr = eng.data_config["sampling_rate"]
                 text({"sample_rate": sr, "format": "pcm16"})
                 for pcm in gen:
@@ -1561,6 +1596,8 @@ def make_handler(engine, loader=None):
                 self._json(413, {"error": str(e)})
             except EngineOverloaded as e:
                 self._json(429, {"error": str(e)})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
             except Exception as e:
                 self._json(500, {"error": repr(e)})
 
@@ -1575,16 +1612,13 @@ def make_handler(engine, loader=None):
                     self._json(501, {"error": "streaming requires a "
                                      "neural vocoder (-w)"})
                     return
-                if req.get("denoise") is not None:
-                    self._json(400, {"error": "denoise is batch-path "
-                                     "only (POST /synthesize)"})
-                    return
                 gen = eng.stream(
                     req["text"], req.get("speaker_id", 0),
                     req.get("sigma", 0.5), req.get("seed", 1234),
                     n_frames=req.get("n_frames"),
                     temperature=req.get("temperature"),
-                    split=bool(req.get("split", False)))
+                    split=bool(req.get("split", False)),
+                    denoise=req.get("denoise"))
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
                 return
@@ -1596,6 +1630,9 @@ def make_handler(engine, loader=None):
                 return
             except EngineOverloaded as e:
                 self._json(429, {"error": str(e)})
+                return
+            except ValueError as e:  # request validation (empty text,
+                self._json(400, {"error": str(e)})  # denoise w/o -d, ..)
                 return
             except Exception as e:
                 self._json(500, {"error": repr(e)})

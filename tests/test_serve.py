@@ -732,7 +732,7 @@ class TestHTTPEndpoints:
         import urllib.error
         with pytest.raises(urllib.error.HTTPError) as ei:
             self._post(server + "/stream", {"text": "~~~"})
-        assert ei.value.code == 500
+        assert ei.value.code == 400
         assert "empty text" in json.loads(ei.value.read())["error"]
 
     def test_missing_field_is_400(self, server):
@@ -1329,7 +1329,8 @@ class TestRuntimeModels:
 
 
 class TestDenoise:
-    def test_denoised_engine_differs_and_stays_valid(self, stream_engine):
+    @pytest.fixture(scope="class")
+    def denoise_engine(self, stream_engine):
         from flowtron_tpu.serve import SynthesisEngine
         eng = SynthesisEngine(stream_engine.config,
                               stream_engine._ckpt_path,
@@ -1337,28 +1338,55 @@ class TestDenoise:
                               max_batch=2, batch_timeout_ms=20,
                               text_buckets=(16, 32), n_frames=48,
                               denoise=0.05)
-        try:
-            wav, sr = eng.submit("Denoise me please.", 0, seed=13)
-            ref, _ = stream_engine.submit("Denoise me please.", 0,
-                                          seed=13)
-            assert sr == 22050
-            assert len(wav) == len(ref) and len(wav) % 256 == 0
-            assert np.isfinite(wav.astype(np.float64)).all()
-            assert not np.array_equal(wav, ref)  # subtraction applied
-            # per-request strength override: a different strength
-            # changes the audio; identical strength reproduces it
-            w2, _ = eng.submit("Denoise me please.", 0, seed=13,
-                               denoise=0.5)
-            w3, _ = eng.submit("Denoise me please.", 0, seed=13,
-                               denoise=0.05)
-            assert not np.array_equal(w2, wav)
-            assert np.array_equal(w3, wav)
-        finally:
-            eng.shutdown()
+        yield eng
+        eng.shutdown()
+
+    def test_denoised_engine_differs_and_stays_valid(self, stream_engine,
+                                                     denoise_engine):
+        eng = denoise_engine
+        wav, sr = eng.submit("Denoise me please.", 0, seed=13)
+        ref, _ = stream_engine.submit("Denoise me please.", 0, seed=13)
+        assert sr == 22050
+        assert len(wav) == len(ref) and len(wav) % 256 == 0
+        assert np.isfinite(wav.astype(np.float64)).all()
+        assert not np.array_equal(wav, ref)  # subtraction applied
+        # per-request strength override: a different strength
+        # changes the audio; identical strength reproduces it
+        w2, _ = eng.submit("Denoise me please.", 0, seed=13,
+                           denoise=0.5)
+        w3, _ = eng.submit("Denoise me please.", 0, seed=13,
+                           denoise=0.05)
+        assert not np.array_equal(w2, wav)
+        assert np.array_equal(w3, wav)
 
     def test_per_request_denoise_needs_engine_flag(self, stream_engine):
         with pytest.raises(ValueError, match="requires an engine"):
             stream_engine.submit("Hi.", 0, denoise=0.1)
+
+    def test_stream_denoise_applies_and_overrides(self, denoise_engine):
+        """-d engines denoise the stream path too (StreamingDenoiser);
+        per-request strength overrides like the batch path."""
+        eng = denoise_engine
+
+        def run(**kw):
+            return np.concatenate(
+                list(eng.stream("Stream denoise.", 0, seed=21, **kw)))
+
+        base = run(denoise=0.0)      # per-request off
+        dn = run()                   # engine default strength 0.05
+        dn2 = run(denoise=0.05)      # explicit == default
+        dn3 = run(denoise=0.5)
+        # denoise changes the audio but never its length
+        assert len(base) == len(dn) == len(dn3) and len(base) > 0
+        assert not np.array_equal(base, dn)
+        assert np.array_equal(dn, dn2)
+        assert not np.array_equal(dn3, dn)
+
+    def test_stream_per_request_denoise_needs_engine_flag(
+            self, stream_engine):
+        # raised eagerly, before the generator / 200 header
+        with pytest.raises(ValueError, match="requires an engine"):
+            stream_engine.stream("Hi.", denoise=0.1)
 
 
 class TestProfileEndpoint:

@@ -300,3 +300,42 @@ class TestStreamTTS:
         assert wav.shape[1] % 256 == 0
         assert np.isfinite(wav).all()
         assert wav.shape[1] >= 256  # at least one frame of audio
+
+    def test_cli_stream_denoise(self, model1, wg_small, tmp_path):
+        """--stream -d: the CLI wires a StreamingDenoiser around the
+        chunk generator; sample count is preserved, audio changes."""
+        import pickle
+        import wave
+        from types import SimpleNamespace
+        from flowtron_tpu.infer.sampling import _run_streaming
+
+        params, static_cfg = model1
+        wgp, wgc = wg_small
+        # non-zero coupling end convs: with the zero-init default the
+        # sigma=0 bias audio is identically zero and denoise is a no-op
+        wgp = jax.tree_util.tree_map(lambda x: x, wgp)
+        for wn in wgp["wn"]:
+            wn["end"] = dict(wn["end"])
+            wn["end"]["w"] = 0.05 * jax.random.normal(
+                jax.random.PRNGKey(7), wn["end"]["w"].shape)
+        wg_path = tmp_path / "wg.pkl"
+        with open(wg_path, "wb") as f:
+            pickle.dump({"params": wgp, "config": wgc}, f)
+        data_config = {"sampling_rate": 22050, "filter_length": 1024,
+                       "hop_length": 256, "win_length": 1024}
+        config = {"model_config": {"n_mel_channels": 8}}
+
+        def run(denoise, sub):
+            args = SimpleNamespace(
+                waveglow_path=str(wg_path),
+                output_dir=str(tmp_path / sub), id=0, sigma=0.5,
+                seed=3, gate=0.35, n_frames=32, denoise=denoise)
+            base = _run_streaming(config, args, params, static_cfg,
+                                  [1, 5, 9], 0, data_config)
+            with wave.open(base + ".wav") as w:
+                return w.readframes(w.getnframes()), w.getnframes()
+
+        raw, n0 = run(0.0, "a")
+        dn, n1 = run(0.2, "b")
+        assert n0 == n1 and n0 > 0
+        assert raw != dn  # subtraction applied

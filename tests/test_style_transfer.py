@@ -63,3 +63,52 @@ class TestDenoiser:
                             .standard_normal((1, 4096)).astype(np.float32))
         out = den(audio, strength=0.05)
         assert out.ndim == 2 and np.isfinite(np.asarray(out)).all()
+
+    def test_streaming_matches_offline(self):
+        """StreamingDenoiser emits exactly the offline Denoiser's
+        samples under arbitrary chunkings (the contract that lets the
+        serving stream path share the batch path's -d semantics)."""
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.vocoder.denoiser import (Denoiser,
+                                                   StreamingDenoiser)
+        params, config = waveglow_init(
+            jax.random.PRNGKey(0), n_mel_channels=8, n_flows=2,
+            n_group=8, n_early_every=4, n_early_size=2, n_layers=1,
+            n_channels=8)
+        den = Denoiser(params, config, n_mel_channels=8)
+        rng = np.random.default_rng(7)
+        for T, splits in [(8192, [4096, 4096]),
+                          (10240, [1536, 2560, 4096, 2048]),
+                          (5000, [1200, 1800, 2000]),  # T % hop != 0
+                          (4096, [4096]),
+                          (7300, [700, 600, 6000])]:   # chunk < pad
+            audio = rng.standard_normal(T).astype(np.float32) * 0.3
+            off = np.asarray(den(jnp.asarray(audio[None]),
+                                 strength=0.07))[0]
+            sd = StreamingDenoiser(den, strength=0.07)
+            parts, i = [], 0
+            for s in splits:
+                parts.append(sd.feed(audio[i:i + s]))
+                i += s
+            parts.append(sd.flush())
+            stream = np.concatenate(parts)
+            assert stream.shape == off.shape, (T, stream.shape)
+            err = np.abs(stream - off.astype(np.float64)).max()
+            assert err < 2e-4, (T, splits, err)  # fp32-vs-fp64 rounding
+
+    def test_streaming_denoiser_resets_after_flush(self):
+        """flush() leaves the instance reusable for the next utterance."""
+        from flowtron_tpu.vocoder import waveglow_init
+        from flowtron_tpu.vocoder.denoiser import (Denoiser,
+                                                   StreamingDenoiser)
+        params, config = waveglow_init(
+            jax.random.PRNGKey(0), n_mel_channels=8, n_flows=2,
+            n_group=8, n_early_every=4, n_early_size=2, n_layers=1,
+            n_channels=8)
+        den = Denoiser(params, config, n_mel_channels=8)
+        audio = (np.random.default_rng(3).standard_normal(4096)
+                 .astype(np.float32) * 0.3)
+        sd = StreamingDenoiser(den, strength=0.1)
+        a = np.concatenate([sd.feed(audio), sd.flush()])
+        b = np.concatenate([sd.feed(audio), sd.flush()])
+        np.testing.assert_array_equal(a, b)
