@@ -496,7 +496,7 @@ class SynthesisEngine:
                                             max_frames=n_frames,
                                             fused="early" if fused
                                             else False),
-                    StreamingVocoder(wg_params, wg_cfg,
+                    StreamingVocoder(wg_i, wg_cfg,
                                      jax.random.PRNGKey(0), sigma=0.8,
                                      dtype=jnp.bfloat16 if bf16
                                      else jnp.float32)))

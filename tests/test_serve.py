@@ -370,6 +370,16 @@ class TestReplicas:
     def test_stream_on_replica_engine(self, replica_engine):
         """Streamer pairs are spread across replica devices; both
         concurrent streams produce audio."""
+        import jax
+        # BOTH halves of each pair follow their replica's device — the
+        # vocoder must not stay committed to the base device (regression:
+        # wg_i was computed but wg_params passed)
+        pairs = list(replica_engine._stream_pool.queue)
+        devs = set()
+        for mel_s, voc in pairs:
+            leaf = jax.tree_util.tree_leaves(voc.params)[0]
+            devs.add(next(iter(leaf.devices())))
+        assert devs == set(replica_engine._replica_devices[:len(pairs)])
         outs = {}
 
         def run(i):
