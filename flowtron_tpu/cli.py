@@ -77,5 +77,35 @@ def inference_main(argv=None):
     run_inference(config, args)
 
 
+def evaluate_main(argv=None):
+    """Standalone checkpoint health check: validation nll/gate/ctc over
+    the config's validation filelist + the invertibility oracle —
+    without starting a training run (the reference exposes validation
+    only inside train(), reference:train.py:142-202)."""
+    import json
+
+    parser = argparse.ArgumentParser(
+        description="Evaluate a Flowtron-TPU checkpoint")
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-p", "--params", nargs="+", default=[])
+    parser.add_argument("-f", "--flowtron_path", type=str, required=True,
+                        help="checkpoint (pickle/sharded/orbax/torch "
+                             "state_dict)")
+    parser.add_argument("--invertibility-frames", type=int, default=100,
+                        help="latent frames for the round-trip oracle "
+                             "(0 disables it)")
+    parser.add_argument("--seed", type=int, default=1234)
+    args = parser.parse_args(argv)
+
+    _apply_platform_override()
+    config = load_config(args.config, args.params)
+    from flowtron_tpu.train.evaluate import evaluate
+    result = evaluate(config, args.flowtron_path,
+                      invertibility_frames=args.invertibility_frames,
+                      seed=args.seed)
+    print(json.dumps({k: round(v, 6) for k, v in result.items()}))
+    return 0  # console_scripts sys.exit()s the return value
+
+
 if __name__ == "__main__":
     train_main()
