@@ -644,6 +644,9 @@ class SynthesisEngine:
         jnp = self.jnp
         out_q = queue.Queue(maxsize=4)
         cancel = threading.Event()
+        # captured now: shutdown() nulls engine attributes under live
+        # streams (the streamer pair equally holds its own params)
+        den = self._denoiser
 
         def emit(samples):
             """float audio -> PCM16 on the queue; False aborts."""
@@ -669,8 +672,7 @@ class SynthesisEngine:
                         # per segment, like the batch path's
                         # per-utterance denoise (segments are separate
                         # synthesized utterances)
-                        sd = StreamingDenoiser(self._denoiser,
-                                               strength=denoise)
+                        sd = StreamingDenoiser(den, strength=denoise)
                     n = len(ids)
                     Tk = self._bucket(n)
                     text_pad = np.zeros((1, Tk), np.int64)
@@ -1220,6 +1222,7 @@ class SynthesisEngine:
         self.wg = None
         self._synth = self._synth_vocode = self._sample_z = None
         self._synth_mel = self._vocode_norm = None
+        self._denoiser = None
 
 
 def _wav_bytes(wav_int16, sr):
