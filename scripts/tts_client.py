@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("-n", "--n-frames", type=int, default=None)
     p.add_argument("-t", "--temperature", type=float, default=None)
+    p.add_argument("-d", "--denoise", type=float, default=None,
+                   help="denoiser strength override (server must run "
+                        "with -d)")
     p.add_argument("--split", action="store_true",
                    help="let the server sentence-split text longer "
                         "than its largest bucket")
@@ -48,6 +51,8 @@ def main(argv=None):
         body["n_frames"] = args.n_frames
     if args.temperature is not None:
         body["temperature"] = args.temperature
+    if args.denoise is not None:
+        body["denoise"] = args.denoise
 
     path = "/stream" if args.stream else "/synthesize"
     req = urllib.request.Request(

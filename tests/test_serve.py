@@ -1454,6 +1454,6 @@ class TestClientScript:
                 [sys.executable, "scripts/tts_client.py", "~~~",
                  "--url", url, "-o", str(tmp_path / "x.wav")],
                 capture_output=True, text=True, timeout=120)
-            assert r.returncode == 1 and "HTTP 500" in r.stderr
+            assert r.returncode == 1 and "HTTP 400" in r.stderr
         finally:
             srv.shutdown()
