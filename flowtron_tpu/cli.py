@@ -95,6 +95,10 @@ def evaluate_main(argv=None):
                         help="latent frames for the round-trip oracle "
                              "(0 disables it)")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--plots", type=str, default="",
+                        help="directory for attention.png/gate.png of a "
+                             "validation batch (the reference's visual "
+                             "health check, without TensorBoard)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()
@@ -102,7 +106,7 @@ def evaluate_main(argv=None):
     from flowtron_tpu.train.evaluate import evaluate
     result = evaluate(config, args.flowtron_path,
                       invertibility_frames=args.invertibility_frames,
-                      seed=args.seed)
+                      seed=args.seed, plots_dir=args.plots or None)
     print(json.dumps({k: round(v, 6) for k, v in result.items()}))
     return 0  # console_scripts sys.exit()s the return value
 

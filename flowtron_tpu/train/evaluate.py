@@ -14,10 +14,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _save_plots(last, out_dir):
+    """Attention-alignment + gate plots for a validation batch — the
+    reference's de-facto health metric ("train until attention looks
+    good", reference:README.md:37-40), produced without TensorBoard."""
+    import os
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    from flowtron_tpu.train.logger import (plot_alignment_to_numpy,
+                                           plot_gate_outputs_to_numpy)
+
+    os.makedirs(out_dir, exist_ok=True)
+    attn = np.asarray(last["attn"])  # (B, T_mel, T_text)
+    mpimg.imsave(os.path.join(out_dir, "attention.png"),
+                 plot_alignment_to_numpy(attn[0].T))
+    gp = np.asarray(last["gate_pred"])  # (T, B, 1)
+    probs = 1.0 / (1.0 + np.exp(-gp[:, 0, 0]))
+    mpimg.imsave(os.path.join(out_dir, "gate.png"),
+                 plot_gate_outputs_to_numpy(np.zeros_like(probs), probs))
+
+
 def evaluate(config, checkpoint_path, invertibility_frames=100,
-             seed=1234):
+             seed=1234, plots_dir=None):
     """Returns a dict: val loss decomposition (+ n_batches), and the
     invertibility round-trip error when invertibility_frames > 0.
+    With plots_dir, writes attention.png + gate.png for the last
+    validation batch.
 
     Accepts every checkpoint format the framework reads (pickle /
     sharded / orbax / reference-format torch state_dict).
@@ -41,9 +64,11 @@ def evaluate(config, checkpoint_path, invertibility_frames=100,
                                         seed=seed)
     ctc_w = (float(train_config.get("ctc_loss_weight", 0.0))
              if train_config.get("use_ctc_loss") else 0.0)
-    totals, _ = compute_validation_loss(eval_step, params, val_loader,
-                                        mesh, ctc_w)
+    totals, last = compute_validation_loss(eval_step, params, val_loader,
+                                           mesh, ctc_w)
     result = dict(totals)
+    if plots_dir and last is not None:
+        _save_plots(last, plots_dir)
 
     if invertibility_frames and invertibility_frames > 0:
         from flowtron_tpu.models.flowtron import (

@@ -61,6 +61,15 @@ class TestEvaluate:
         # exactly invertible up to float rounding
         assert out["invertibility_err"] < 1e-4, out
 
+    def test_plots_written(self, eval_setup, tmp_path):
+        from flowtron_tpu.train.evaluate import evaluate
+        config, ckpt = eval_setup
+        evaluate(config, ckpt, invertibility_frames=0,
+                 plots_dir=str(tmp_path / "plots"))
+        for name in ("attention.png", "gate.png"):
+            p = tmp_path / "plots" / name
+            assert p.exists() and p.stat().st_size > 500, name
+
     def test_cli_prints_json(self, eval_setup, capsys):
         import json
         from flowtron_tpu.cli import evaluate_main
@@ -74,3 +83,39 @@ class TestEvaluate:
         line = capsys.readouterr().out.strip().splitlines()[-1]
         parsed = json.loads(line)
         assert "loss" in parsed and "invertibility_err" not in parsed
+
+
+class TestExportScript:
+    def test_export_round_trips_through_torch_format(self, eval_setup,
+                                                     tmp_path):
+        """scripts/export_torch.py writes a reference-format .pt that
+        our own importer reads back bit-exactly — the user journey of
+        moving a model trained here into the PyTorch reference
+        (reference:inference.py:51-56)."""
+        import json
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "export_torch", "scripts/export_torch.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        config, ckpt = eval_setup
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(config))
+        out = tmp_path / "exported.pt"
+        assert mod.main(["-c", str(cfg_path), "-f", ckpt,
+                         "-o", str(out)]) == 0
+
+        import torch
+        blob = torch.load(str(out), weights_only=True)
+        assert "state_dict" in blob and len(blob["state_dict"]) > 10
+
+        from flowtron_tpu.infer.sampling import load_model_for_inference
+        import jax
+        ref_params, _ = load_model_for_inference(config, ckpt)
+        imp_params, _ = load_model_for_inference(config, str(out))
+        ref_leaves = jax.tree_util.tree_leaves(ref_params)
+        imp_leaves = jax.tree_util.tree_leaves(imp_params)
+        assert len(ref_leaves) == len(imp_leaves)
+        for a, b in zip(ref_leaves, imp_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
