@@ -340,3 +340,40 @@ class TestDataKwargs:
                "hop_length": 256}
         out = data_kwargs(cfg)
         assert out == {"p_arpabet": 1.0, "hop_length": 256}
+
+
+class TestMelDumpCLI:
+    def test_data_py_dumps_mels(self, tiny_corpus, tmp_path):
+        """repo-root data.py (reference:data.py:253-283 contract) as a
+        real subprocess: one .npy per wav, equal to Data.get_mel."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        cfg = {"data_config": {
+            "training_files": tiny_corpus,
+            "validation_files": tiny_corpus,
+            "p_arpabet": 0.0, "cmudict_path": "", "heteronyms_path": "",
+            "use_attn_prior": False}}
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out_dir = tmp_path / "mels"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "data.py"),
+             "-c", str(cfg_path), "-f", tiny_corpus,
+             "-o", str(out_dir)],
+            env=dict(os.environ, FLOWTRON_PLATFORM="cpu"),
+            capture_output=True, text=True, timeout=600, cwd=repo)
+        assert r.returncode == 0, r.stderr
+
+        from flowtron_tpu.data import load_filepaths_and_text, load_wav
+        ds = Data(tiny_corpus, p_arpabet=0.0, use_attn_prior=False)
+        entries = load_filepaths_and_text(tiny_corpus)
+        assert len(entries) == 3
+        for path, _, _ in entries:
+            dumped = np.load(out_dir / (os.path.basename(path) + ".npy"))
+            audio, _ = load_wav(path)
+            np.testing.assert_allclose(dumped, ds.get_mel(audio),
+                                       atol=1e-5)
