@@ -1703,10 +1703,11 @@ def main(argv=None):
                              "with --warmup: restarts reuse every "
                              "bucket program instead of recompiling)")
     parser.add_argument("-d", "--denoise", type=float, default=0.0,
-                        help="WaveGlow bias-denoiser strength applied "
-                             "on device in the batch path (0 = off; "
-                             "same semantics as the inference CLI's -d;"
-                             " needs -w)")
+                        help="WaveGlow bias-denoiser strength (0 = off; "
+                             "needs -w). Batch path: on device inside "
+                             "the jitted chain; streams: host-side "
+                             "overlap-exact chunked subtraction. "
+                             "Requests override with \"denoise\": S")
     parser.add_argument("--profiler-port", type=int, default=0,
                         help="start jax.profiler.start_server here so "
                              "TensorBoard's profile plugin can capture "
