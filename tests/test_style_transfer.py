@@ -81,7 +81,8 @@ class TestDenoiser:
                           (10240, [1536, 2560, 4096, 2048]),
                           (5000, [1200, 1800, 2000]),  # T % hop != 0
                           (4096, [4096]),
-                          (7300, [700, 600, 6000])]:   # chunk < pad
+                          (7300, [700, 600, 6000]),    # chunk < pad
+                          (6000, [0, 1, 511, 488, 5000])]:  # empty+tiny
             audio = rng.standard_normal(T).astype(np.float32) * 0.3
             off = np.asarray(den(jnp.asarray(audio[None]),
                                  strength=0.07))[0]
