@@ -145,14 +145,17 @@ def main():
     concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     max_batch = int(os.environ.get("SERVE_MAX_BATCH", "8"))
     quantize = os.environ.get("SERVE_QUANTIZE", "")
+    denoise = float(os.environ.get("SERVE_DENOISE", "0"))
 
-    engine = build_flagship_engine(max_batch=max_batch, quantize=quantize)
+    engine = build_flagship_engine(max_batch=max_batch, quantize=quantize,
+                                   denoise=denoise)
 
     for label in ("cold(compiles)", "warm"):
         r = run_load(engine, n_requests, concurrency)
         print(f"[{label}] {r['n_requests']} reqs @ concurrency "
               f"{r['concurrency']} (max_batch {max_batch}"
-              f"{', ' + quantize if quantize else ''}): "
+              f"{', ' + quantize if quantize else ''}"
+              f"{f', denoise {denoise}' if denoise else ''}): "
               f"{r['req_per_s']} req/s, {r['x_realtime']}x realtime "
               f"aggregate ({r['audio_s']}s audio in {r['wall_s']}s)")
         print(f"[{label}] latency p50 {r['p50_ms']} ms, "
