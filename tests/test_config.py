@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from flowtron_tpu.config import load_config, update_params, DEFAULT_CONFIG
 
 
@@ -41,3 +43,15 @@ def test_unknown_key_ignored(capsys):
 def test_string_value_passthrough():
     cfg = load_config(overrides=["train_config.checkpoint_path=/tmp/x.ckpt"])
     assert cfg["train_config"]["checkpoint_path"] == "/tmp/x.ckpt"
+
+
+class TestPackageAPI:
+    def test_lazy_top_level_exports_resolve(self):
+        """`from flowtron_tpu import X` works for the public surface
+        (lazy __getattr__ — package import itself stays light)."""
+        import flowtron_tpu
+        for name in flowtron_tpu._EXPORTS:
+            assert getattr(flowtron_tpu, name) is not None, name
+        assert set(flowtron_tpu._EXPORTS) < set(dir(flowtron_tpu))
+        with pytest.raises(AttributeError):
+            flowtron_tpu.does_not_exist
