@@ -1378,6 +1378,29 @@ def make_handler(engine, loader=None):
                     } for n, e in snap.items()]})
             elif self.path == "/stream-ws":
                 self._do_stream_ws()
+            elif self.path == "/":
+                # discovery index: what this server speaks
+                from flowtron_tpu import __version__
+                self._json(200, {
+                    "service": "flowtron_tpu",
+                    "version": __version__,
+                    "endpoints": {
+                        "POST /synthesize": "full wav (json request)",
+                        "POST /stream": "chunked-transfer wav",
+                        "GET /stream-ws": "WebSocket: json in, "
+                                          "pcm16 frames out",
+                        "GET /models": "resident voices + speaker ids",
+                        "POST /models": "load a voice at runtime",
+                        "DELETE /models/<name>": "drain + unload",
+                        "GET /metrics": "counters + latency percentiles",
+                        "GET /healthz": "liveness + queue depth",
+                        "POST /profile": "capture a device trace",
+                    },
+                    "request_fields": [
+                        "text", "speaker_id", "sigma", "seed",
+                        "n_frames", "temperature", "split", "denoise",
+                        "model"],
+                })
             else:
                 self._json(404, {"error": "not found"})
 

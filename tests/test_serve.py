@@ -719,6 +719,15 @@ class TestHTTPEndpoints:
         with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
             assert json.loads(r.read())["status"] == "ok"
 
+    def test_root_index(self, server):
+        import json
+        import urllib.request
+        with urllib.request.urlopen(server + "/", timeout=60) as r:
+            idx = json.loads(r.read())
+        assert idx["service"] == "flowtron_tpu" and idx["version"]
+        assert "POST /synthesize" in idx["endpoints"]
+        assert "denoise" in idx["request_fields"]
+
     def test_synthesize_wav(self, server):
         with self._post(server + "/synthesize",
                         {"text": "Hello HTTP."}) as r:
