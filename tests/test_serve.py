@@ -1407,6 +1407,30 @@ class TestDenoise:
         with pytest.raises(ValueError, match="requires an engine"):
             stream_engine.stream("Hi.", denoise=0.1)
 
+    def test_denoise_composes_with_staged_vocoding(self, stream_engine):
+        """-d inside vocode_norm runs at sub-n_frames vocode buckets
+        too (the staged two-stage path), deterministically."""
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(stream_engine.config,
+                              stream_engine._ckpt_path,
+                              waveglow_path=stream_engine._waveglow_path,
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=48,
+                              vocode_buckets=(16,), denoise=0.05)
+        try:
+            # n_frames cap fits the 16-frame bucket -> staged dispatch
+            a, _ = eng.submit("Short one.", 0, seed=3, n_frames=12)
+            b, _ = eng.submit("Short one.", 0, seed=3, n_frames=12)
+            assert eng.metrics()["staged_batches"] >= 1
+            assert len(a) == 12 * 256
+            np.testing.assert_array_equal(a, b)
+            # and a different strength changes the staged audio too
+            c, _ = eng.submit("Short one.", 0, seed=3, n_frames=12,
+                              denoise=0.5)
+            assert not np.array_equal(a, c)
+        finally:
+            eng.shutdown()
+
 
 class TestProfileEndpoint:
     def test_profile_capture_writes_trace(self, engine, tmp_path):
