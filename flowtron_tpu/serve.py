@@ -1270,6 +1270,13 @@ def _ws_send(wfile, payload, opcode):
 
 
 _WS_MAX_FRAME = 1 << 20  # the only inbound payload is a small JSON body
+_HTTP_MAX_BODY = 1 << 20  # same bound for plain-HTTP request bodies
+
+
+class _BodyTooLarge(Exception):
+    def __init__(self, length):
+        super().__init__(f"request body {length} bytes exceeds "
+                         f"{_HTTP_MAX_BODY}")
 
 
 def _ws_recv(rfile):
@@ -1335,6 +1342,16 @@ def make_handler(engine, loader=None):
                 if name not in engines:
                     raise UnknownModel(name, set(engines))
                 return engines[name]
+
+        def _read_json_body(self):
+            """Bounded request-body read: a client-declared
+            Content-Length above _HTTP_MAX_BODY is rejected BEFORE any
+            read/allocation (mirrors the _WS_MAX_FRAME discipline —
+            text requests are <=128-id buckets, so 1 MB is generous)."""
+            length = int(self.headers.get("Content-Length", 0))
+            if length > _HTTP_MAX_BODY:
+                raise _BodyTooLarge(length)
+            return json.loads(self.rfile.read(length) or b"{}")
 
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -1584,8 +1601,10 @@ def make_handler(engine, loader=None):
                 return
             if self.path in ("/models", "/profile"):
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = self._read_json_body()
+                except _BodyTooLarge as e:
+                    self._json(413, {"error": str(e)})
+                    return
                 except Exception as e:
                     self._json(400, {"error": repr(e)})
                     return
@@ -1598,8 +1617,7 @@ def make_handler(engine, loader=None):
                 self._json(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = self._read_json_body()
                 text = req["text"]
                 wav, sr = self._engine(req).submit(
                     text, req.get("speaker_id", 0),
@@ -1618,7 +1636,7 @@ def make_handler(engine, loader=None):
                 self._json(400, {"error": f"missing field {e}"})
             except UnknownModel as e:
                 self._json(404, {"error": str(e)})
-            except TextTooLong as e:
+            except (TextTooLong, _BodyTooLarge) as e:
                 self._json(413, {"error": str(e)})
             except EngineOverloaded as e:
                 self._json(429, {"error": str(e)})
@@ -1631,8 +1649,7 @@ def make_handler(engine, loader=None):
             """Chunked-transfer WAV: audio bytes flow as synthesis runs
             (one mel chunk + vocoder lookahead to first byte)."""
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = self._read_json_body()
                 eng = self._engine(req)
                 if not eng.can_stream:
                     self._json(501, {"error": "streaming requires a "
@@ -1651,7 +1668,7 @@ def make_handler(engine, loader=None):
             except UnknownModel as e:
                 self._json(404, {"error": str(e)})
                 return
-            except TextTooLong as e:
+            except (TextTooLong, _BodyTooLarge) as e:
                 self._json(413, {"error": str(e)})
                 return
             except EngineOverloaded as e:

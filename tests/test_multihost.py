@@ -57,6 +57,12 @@ def _make_corpus(root):
 def _spawn(workdir, nproc, pid, port, devices_per_proc, steps=3):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # the runner sets its own device count
+    # Hermeticity: the runner is launched in script mode, which puts
+    # tests/ (not the repo root) on sys.path — inject the repo root so
+    # `import flowtron_tpu` works without ambient PYTHONPATH help.
+    repo_root = os.path.dirname(os.path.dirname(RUNNER))
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     return subprocess.Popen(
         [sys.executable, RUNNER, "--workdir", str(workdir),
          "--nproc", str(nproc), "--pid", str(pid), "--port", str(port),

@@ -780,6 +780,25 @@ class TestHTTPEndpoints:
             assert ei.value.code == 413
             assert "largest bucket" in json.loads(ei.value.read())["error"]
 
+    def test_http_413_on_oversized_body(self, server):
+        """A client-declared multi-GB Content-Length is rejected with
+        413 BEFORE the handler buffers anything (mirrors _WS_MAX_FRAME
+        on the WebSocket path)."""
+        import socket
+        host, port = server.replace("http://", "").split(":")
+        for path in ("/synthesize", "/stream", "/models", "/profile"):
+            with socket.create_connection((host, int(port)),
+                                          timeout=60) as s:
+                s.sendall((f"POST {path} HTTP/1.1\r\n"
+                           f"Host: {host}\r\n"
+                           "Content-Type: application/json\r\n"
+                           "Content-Length: 5000000000\r\n"
+                           "Connection: close\r\n\r\n").encode())
+                # no body follows: the 413 must arrive without it
+                s.settimeout(60)
+                status = s.makefile("rb").readline()
+            assert b"413" in status, (path, status)
+
     def test_http_split_long_text(self, server):
         with self._post(server + "/synthesize",
                         {"text": "One two three. " * 8,
