@@ -118,9 +118,15 @@ def _iter_named_params(params):
         if "gate_layer" in flow:
             linear(f"{pre}.gate_layer.linear_layer", flow["gate_layer"])
         if "attn_cond_layer" in flow:
+            # the reference registers each conv TWICE — as an attribute
+            # and inside an nn.Sequential (reference:flowtron.py:138-148)
+            # — so its state_dict carries alias keys; emit/accept both
+            # for strict round-trips
             acl = flow["attn_cond_layer"]
             for ours, theirs in (("conv_hidden", "location_conv_hidden"),
-                                 ("conv_out", "location_conv_out")):
+                                 ("conv_out", "location_conv_out"),
+                                 ("conv_hidden", "conv_layers.0"),
+                                 ("conv_out", "conv_layers.2")):
                 entries.append((f"{pre}.attn_cond_layer.{theirs}.conv.weight",
                                 acl[ours], "w"))
                 entries.append((f"{pre}.attn_cond_layer.{theirs}.conv.bias",
