@@ -126,6 +126,7 @@ def main():
     e2e_rtf, e2e_detail = bench_e2e(params, cfg)
     stream_detail = bench_stream(params, cfg)
     serving_detail = bench_serving()
+    train_detail = bench_training(params, cfg)
 
     print(json.dumps({
         "metric": "mel_frames_per_sec_per_chip",
@@ -144,7 +145,8 @@ def main():
                        round(best_fps / BASELINE_FRAMES_PER_SEC, 1),
                    "e2e": e2e_detail,
                    "stream": stream_detail,
-                   "serving": serving_detail},
+                   "serving": serving_detail,
+                   "train": train_detail},
     }))
 
 
@@ -284,6 +286,58 @@ def bench_serving():
     warm["note"] = ("warm pass; tunnel load-test variance is +-20% "
                     "run-to-run — see ROADMAP ranges")
     return warm
+
+
+def bench_training(params, cfg, B=128, T=768, Tk=128):
+    """Training-step throughput (scripts/bench_train.py methodology):
+    flagship dims, bf16 compute, scan-level remat, B=128/T=768 — the best
+    measured production configuration (ROADMAP batch-scaling study:
+    147.8k frames/s peak). TPU-only — the flagship step is not meaningful
+    on one CPU core. Included so training-perf regressions are
+    driver-visible across rounds (BENCH artifacts)."""
+    if jax.default_backend() != "tpu":
+        return {"skipped": jax.default_backend()}
+    from flowtron_tpu.train.loop import make_train_step
+    from flowtron_tpu.train.radam import radam, masked_optimizer
+    from flowtron_tpu.train.checkpoints import trainable_mask
+    from flowtron_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    optimizer = masked_optimizer(radam(1e-4, weight_decay=1e-6),
+                                 trainable_mask(params, ()))
+    tc = {"sigma": 1.0, "fp16_run": True, "use_ctc_loss": True,
+          "remat": True}
+    step = make_train_step(cfg, mesh, optimizer, tc)
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "mel": jnp.asarray(
+            rng.standard_normal((B, 80, T)).astype(np.float32)),
+        "speaker_ids": jnp.zeros((B,), jnp.int32),
+        "text": jnp.asarray(rng.integers(1, 185, (B, Tk))),
+        "in_lens": jnp.full((B,), Tk, jnp.int32),
+        "out_lens": jnp.full((B,), T, jnp.int32),
+        "gate_target": jnp.zeros((B, T), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    # deep-copy: the step donates its params/opt_state buffers, and the
+    # caller's `params` is reused by other bench sections
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.jit(optimizer.init)(p)
+    o = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, o)
+    p, o, m = step(p, o, batch, key, 0.01)  # compile + warm
+    float(m["loss"])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, o, m = step(p, o, batch, key, 0.01)
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {"batch": B, "n_frames": T, "dtype": "bf16", "remat": True,
+            "ms_per_step": round(dt * 1e3, 1),
+            "frames_per_sec": round(B * T / dt, 1),
+            "loss": round(float(m["loss"]), 3)}
 
 
 if __name__ == "__main__":

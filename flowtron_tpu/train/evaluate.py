@@ -14,6 +14,85 @@ import jax
 import jax.numpy as jnp
 
 
+def _isotonic_increasing(y):
+    """L2 isotonic regression (pool-adjacent-violators): the best
+    non-decreasing fit to y. Pure numpy, O(n)."""
+    vals, wts = [], []
+    for v in np.asarray(y, np.float64):
+        vals.append(float(v))
+        wts.append(1)
+        while len(vals) > 1 and vals[-2] > vals[-1]:
+            v2, w2 = vals.pop(), wts.pop()
+            v1, w1 = vals.pop(), wts.pop()
+            vals.append((v1 * w1 + v2 * w2) / (w1 + w2))
+            wts.append(w1 + w2)
+    out = np.empty(len(y))
+    i = 0
+    for v, w in zip(vals, wts):
+        out[i:i + w] = v
+        i += w
+    return out
+
+
+def attention_diagonality(attn, out_lens, in_lens, band=0.12):
+    """The reference's de-facto health metric is "attention looks
+    diagonal" (reference:README.md:37-40); this makes it a number in
+    [0, 1]: the mean attention mass within a +-band of the ideal
+    diagonal (mel frame t attends near text position t * T_text/T_mel),
+    over valid frames/positions. A trained, aligned model scores near 1;
+    untrained or collapsed attention scores ~2*band or less."""
+    attn = np.asarray(attn)
+    scores = []
+    for b in range(attn.shape[0]):
+        O, I = int(out_lens[b]), int(in_lens[b])
+        if O < 2 or I < 2:
+            continue
+        A = attn[b, :O, :I].astype(np.float64)
+        A /= np.maximum(A.sum(-1, keepdims=True), 1e-8)
+        t = np.arange(O)[:, None] / (O - 1)
+        k = np.arange(I)[None, :] / (I - 1)
+        r = max(band, 2.0 / I)  # never narrower than ~2 text positions
+        scores.append(float((A * (np.abs(k - t) <= r)).sum() / O))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def attention_monotonicity(attn, out_lens, in_lens):
+    """1 - normalized deviation of the attention centroid
+    E[text pos | mel frame] from its best monotone (isotonic) fit.
+    1.0 = the alignment only ever moves forward through the text;
+    oscillating/jumpy attention scores lower. Complements
+    attention_diagonality (a flat centroid is monotone but not
+    diagonal)."""
+    attn = np.asarray(attn)
+    scores = []
+    for b in range(attn.shape[0]):
+        O, I = int(out_lens[b]), int(in_lens[b])
+        if O < 2 or I < 2:
+            continue
+        A = attn[b, :O, :I].astype(np.float64)
+        A /= np.maximum(A.sum(-1, keepdims=True), 1e-8)
+        c = (A * np.arange(I)).sum(-1)
+        dev = np.mean(np.abs(c - _isotonic_increasing(c))) / max(I - 1, 1)
+        scores.append(1.0 - min(1.0, float(dev)))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def gate_accuracy(gate_logits, gate_target, out_lens):
+    """Fraction of valid frames where the thresholded gate prediction
+    (sigmoid(logit) > 0.5) matches the target (1 from the last real
+    frame, reference:data.py:236-238). Valid = t < out_len, the same
+    frames the gate loss is computed over."""
+    gp = np.asarray(gate_logits)[:, :, 0].T  # (T, B, 1) -> (B, T)
+    gt = np.asarray(gate_target)
+    correct, total = 0, 0
+    for b in range(gt.shape[0]):
+        O = int(out_lens[b])
+        pred = gp[b, :O] > 0.0
+        correct += int((pred == (gt[b, :O] > 0.5)).sum())
+        total += O
+    return correct / max(total, 1)
+
+
 def _save_plots(last, out_dir):
     """Attention-alignment + gate plots for a validation batch — the
     reference's de-facto health metric ("train until attention looks
@@ -31,8 +110,12 @@ def _save_plots(last, out_dir):
                  plot_alignment_to_numpy(attn[0].T))
     gp = np.asarray(last["gate_pred"])  # (T, B, 1)
     probs = 1.0 / (1.0 + np.exp(-gp[:, 0, 0]))
+    batch = last.get("batch") or {}
+    targets = (np.asarray(batch["gate_target"])[0, :probs.shape[0]]
+               if batch.get("gate_target") is not None
+               else np.zeros_like(probs))
     mpimg.imsave(os.path.join(out_dir, "gate.png"),
-                 plot_gate_outputs_to_numpy(np.zeros_like(probs), probs))
+                 plot_gate_outputs_to_numpy(targets, probs))
 
 
 def evaluate(config, checkpoint_path, invertibility_frames=100,
@@ -64,9 +147,27 @@ def evaluate(config, checkpoint_path, invertibility_frames=100,
                                         seed=seed)
     ctc_w = (float(train_config.get("ctc_loss_weight", 0.0))
              if train_config.get("use_ctc_loss") else 0.0)
+
+    # quality proxies accumulated over every validation batch: the
+    # reference's "attention looks diagonal" check as numbers
+    qual = {"attn_diagonality": [], "attn_monotonicity": [],
+            "gate_accuracy": []}
+
+    def on_batch(out, batch):
+        attn = np.asarray(out["attn"])
+        qual["attn_diagonality"].append(attention_diagonality(
+            attn, batch["out_lens"], batch["in_lens"]))
+        qual["attn_monotonicity"].append(attention_monotonicity(
+            attn, batch["out_lens"], batch["in_lens"]))
+        qual["gate_accuracy"].append(gate_accuracy(
+            out["gate_pred"], batch["gate_target"], batch["out_lens"]))
+
     totals, last = compute_validation_loss(eval_step, params, val_loader,
-                                           mesh, ctc_w)
+                                           mesh, ctc_w, on_batch=on_batch)
     result = dict(totals)
+    for k, v in qual.items():
+        if v:
+            result[k] = float(np.mean(v))
     if plots_dir and last is not None:
         _save_plots(last, plots_dir)
 

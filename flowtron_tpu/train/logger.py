@@ -85,7 +85,10 @@ class FlowtronLogger:
             gp = np.asarray(gate_pred)  # (T, B, 1)
             idx = np.random.randint(gp.shape[1])
             probs = 1.0 / (1.0 + np.exp(-gp[:, idx, 0]))
-            targets = np.zeros_like(probs)
+            batch = last_outputs.get("batch") or {}
+            targets = (np.asarray(batch["gate_target"])[idx, :probs.shape[0]]
+                       if batch.get("gate_target") is not None
+                       else np.zeros_like(probs))
             self.writer.add_image(
                 "gate",
                 plot_gate_outputs_to_numpy(targets, probs),

@@ -168,7 +168,9 @@ def _pad_batch_to_divisible(batch, m):
 
 
 def compute_validation_loss(eval_step, params, val_loader, mesh,
-                            ctc_weight):
+                            ctc_weight, on_batch=None):
+    """on_batch(out, host_batch): optional per-batch hook — evaluate()
+    uses it to accumulate quality metrics over the whole val set."""
     data_axis = batch_shard_size(mesh)
     totals = {"nll": 0.0, "gate": 0.0, "ctc": 0.0}
     n = 0
@@ -180,7 +182,9 @@ def compute_validation_loss(eval_step, params, val_loader, mesh,
         for k in totals:
             totals[k] += float(out[k])
         n += 1
-        last = out
+        last = {**out, "batch": batch}
+        if on_batch is not None:
+            on_batch(out, batch)
     if n == 0:
         return {"loss": 0.0, **totals}, None
     for k in totals:

@@ -50,6 +50,68 @@ def eval_setup(tmp_path_factory):
     return config, ckpt
 
 
+class TestQualityMetrics:
+    """The reference's health check is visual ("train until attention
+    looks diagonal", reference:README.md:37-40); these pin the numeric
+    versions on constructed alignments with known scores."""
+
+    def _perfect(self, O=40, I=20):
+        attn = np.zeros((1, O, I), np.float32)
+        attn[0, np.arange(O), (np.arange(O) * (I - 1) // (O - 1))] = 1.0
+        return attn
+
+    def test_diagonal_attention_scores_one(self):
+        from flowtron_tpu.train.evaluate import (attention_diagonality,
+                                                 attention_monotonicity)
+        attn = self._perfect()
+        assert attention_diagonality(attn, [40], [20]) > 0.99
+        assert attention_monotonicity(attn, [40], [20]) > 0.99
+
+    def test_uniform_attention_scores_low(self):
+        from flowtron_tpu.train.evaluate import attention_diagonality
+        attn = np.full((1, 40, 20), 1 / 20, np.float32)
+        # uniform mass in a +-max(0.12, 2/I) band ~ 2*band of the total
+        assert attention_diagonality(attn, [40], [20]) < 0.45
+
+    def test_jumpy_attention_flunks_monotonicity(self):
+        from flowtron_tpu.train.evaluate import attention_monotonicity
+        attn = np.zeros((1, 40, 20), np.float32)
+        attn[0, ::2, 0] = 1.0   # alternate between text pos 0 and 19
+        attn[0, 1::2, 19] = 1.0
+        assert attention_monotonicity(attn, [40], [20]) < 0.6
+
+    def test_metrics_respect_lengths(self):
+        from flowtron_tpu.train.evaluate import attention_diagonality
+        attn = self._perfect(40, 20)
+        # garbage in the padding region must not affect the score
+        padded = np.zeros((1, 64, 32), np.float32)
+        padded[:, :40, :20] = attn
+        padded[:, 40:, :] = 1.0 / 32
+        padded[:, :40, 20:] = 0.0
+        a = attention_diagonality(attn, [40], [20])
+        b = attention_diagonality(padded, [40], [20])
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_gate_accuracy(self):
+        from flowtron_tpu.train.evaluate import gate_accuracy
+        T, B = 10, 2
+        target = np.zeros((B, T), np.float32)
+        target[:, 7:] = 1.0  # gate from frame 7
+        logits = np.full((T, B, 1), -5.0, np.float32)
+        logits[7:, :, 0] = 5.0           # sample 0: perfect
+        logits[5:, 1, 0] = 5.0           # sample 1: fires 2 frames early
+        out_lens = [10, 8]               # only t < out_len counts
+        # sample 0: 10/10; sample 1: frames 0-7, wrong at 5,6 -> 6/8
+        assert gate_accuracy(logits, target, out_lens) == (10 + 6) / 18
+
+    def test_isotonic_fit(self):
+        from flowtron_tpu.train.evaluate import _isotonic_increasing
+        y = np.array([1.0, 3.0, 2.0, 2.0, 5.0])
+        iso = _isotonic_increasing(y)
+        assert (np.diff(iso) >= -1e-12).all()
+        np.testing.assert_allclose(iso, [1, 7 / 3, 7 / 3, 7 / 3, 5])
+
+
 class TestEvaluate:
     def test_reports_losses_and_invertibility(self, eval_setup):
         from flowtron_tpu.train.evaluate import evaluate
@@ -57,6 +119,10 @@ class TestEvaluate:
         out = evaluate(config, ckpt, invertibility_frames=12)
         for k in ("loss", "nll", "gate", "ctc", "invertibility_err"):
             assert k in out and np.isfinite(out[k]), (k, out)
+        # quality proxies present and in range on any checkpoint
+        for k in ("attn_diagonality", "attn_monotonicity",
+                  "gate_accuracy"):
+            assert k in out and 0.0 <= out[k] <= 1.0, (k, out)
         # an untrained (zero-init couplings = identity flows) model is
         # exactly invertible up to float rounding
         assert out["invertibility_err"] < 1e-4, out

@@ -81,6 +81,51 @@ class TestTraining:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_quality_metrics_improve_with_training(self):
+        """The evaluate() quality proxies move the right way on the
+        convergence smoke run: gate accuracy rises well above its
+        untrained value within 40 steps (measured: 0.63 -> 0.93); the
+        attention scores stay finite in [0, 1] (synthetic noise data has
+        no real alignment to converge to, so only range is asserted)."""
+        from flowtron_tpu.models import flowtron_forward
+        from flowtron_tpu.train.evaluate import (
+            attention_diagonality, attention_monotonicity, gate_accuracy)
+
+        mesh = make_mesh((1,))
+        params, opt_state, step = _setup(mesh)
+        _, cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                               use_gate_layer=True, **SMALL)
+        batch = synthetic_batch()
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def quality(p):
+            out = flowtron_forward(
+                p, cfg, db["mel"], db["speaker_ids"], db["text"],
+                db["in_lens"], db["out_lens"],
+                attn_prior=db["attn_prior"], train=False)
+            attn = np.asarray(out[3][-1])
+            return {
+                "diag": attention_diagonality(
+                    attn, batch["out_lens"], batch["in_lens"]),
+                "mono": attention_monotonicity(
+                    attn, batch["out_lens"], batch["in_lens"]),
+                "gate_acc": gate_accuracy(
+                    out[2], batch["gate_target"], batch["out_lens"]),
+            }
+
+        before = quality(params)
+        key = jax.random.PRNGKey(5)
+        for i in range(40):
+            params, opt_state, _ = step(params, opt_state, db,
+                                        jax.random.fold_in(key, i),
+                                        jnp.asarray(0.01))
+        after = quality(params)
+        assert after["gate_acc"] > 0.85, (before, after)
+        assert after["gate_acc"] > before["gate_acc"], (before, after)
+        for m in (before, after):
+            for k, v in m.items():
+                assert 0.0 <= v <= 1.0, (k, m)
+
     def test_dp_matches_single_device(self):
         """Same seeds: 8-way data parallel == single device (determinism +
         correct gradient averaging via GSPMD)."""
