@@ -397,27 +397,36 @@ class StreamingVocoder:
 
     def _emit(self, n, F, at_end=False):
         e0 = self._emitted
-        W = self.context + n + self.lookahead
-        w0 = max(0, e0 - self.context)
-        if not at_end:
-            # slide left if the right edge would pass the buffer
-            w0 = min(w0, max(0, F - W))
-            w1 = min(F, w0 + W)
-        else:
-            w1 = F
-            w0 = max(0, w1 - W)
-        # round the window width up to a bucket by extending LEFT into
-        # real history (exact semantics — just more context), so flush
-        # and ragged-tail windows reuse a few compiled shapes instead of
-        # one program per utterance length
-        bucket = -(-(w1 - w0) // 16) * 16
-        w0 = max(0, w1 - bucket)
+        w0, w1 = window_spec(e0, n, F, self.context, self.lookahead,
+                             at_end)
         mel_win = jnp.asarray(self._mel[:, :, w0:w1], self._dtype)
         audio = self._window_audio(self.params, mel_win, w0, self.key)
         lo = (e0 - w0) * HOP
         out = np.asarray(jax.device_get(audio))[:, lo:lo + n * HOP]
         self._emitted = e0 + n
         return out.astype(np.float32)
+
+
+def window_spec(e0, n, F, context, lookahead, at_end=False):
+    """The sliding-window arithmetic shared by StreamingVocoder and the
+    batched multiplexer (infer/multistream.py): given `e0` frames already
+    emitted, `n` to emit now and `F` frames buffered, return the mel
+    window [w0, w1) to vocode. Widths are bucketed to multiples of 16 by
+    extending LEFT into real history (exact semantics — just more
+    context), so ragged tails reuse a few compiled shapes. Keeping this
+    in one place guarantees the B=1 and batched paths compute identical
+    windows (the multiplexer's per-stream-equality tests rely on it)."""
+    W = context + n + lookahead
+    w0 = max(0, e0 - context)
+    if not at_end:
+        w0 = min(w0, max(0, F - W))
+        w1 = min(F, w0 + W)
+    else:
+        w1 = F
+        w0 = max(0, w1 - W)
+    bucket = -(-(w1 - w0) // 16) * 16
+    w0 = max(0, w1 - bucket)
+    return w0, w1
 
 
 def pump_stream(mel_s, voc, key, speaker_ids, text, sigma=0.5,

@@ -49,6 +49,14 @@ them — the right mode once one chip's max_batch-8 throughput saturates
 batches). --mesh remains the tensor-parallel alternative for models too
 big for one device.
 
+Stream concurrency: the default pool gives each concurrent stream its
+own warm streamer pair (N streams = N dispatch chains). --stream-mux N
+instead serves all streams through ONE batched N-slot multiplexer
+(infer/multistream.py): one chunk dispatch per tick advances every
+active stream and vocoder windows batch across streams — the decoder
+step is weight-load-bound, so the batched tick costs about what a
+single stream's chunk does.
+
 Run: python -m flowtron_tpu.serve -c config.json -f ckpt [-w vocoder]
      [--port 8080 --max-batch 8 --batch-timeout-ms 20 --max-queue 64]
      [--model other=config2.json:ckpt2:vocoder2 ...] [--replicas auto]
@@ -154,7 +162,7 @@ class SynthesisEngine:
                  mesh_shape=None, bf16=False, max_queue=64,
                  stream_stall_timeout=30.0, stream_workers=2,
                  stream_acquire_timeout=5.0, replicas=1,
-                 vocode_buckets=None, denoise=0.0):
+                 vocode_buckets=None, denoise=0.0, stream_mux=0):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -474,8 +482,31 @@ class SynthesisEngine:
         # costs tracing only. Chunks cross to the HTTP handler through
         # a bounded queue so a stalled client cannot pin a pair
         # (stream_stall_timeout).
+        # --stream-mux N replaces the pool with ONE batched multiplexer
+        # (infer/multistream.py): N concurrent streams share a single
+        # chunk dispatch per tick and batched vocoder windows, instead
+        # of N independent dispatch chains. One device program — with
+        # --replicas the mux runs on the base device (scale-out for
+        # muxed streaming = one process per device).
+        self._mux = None
+        self._mux_routes = {}
+        self._mux_lock = threading.Lock()
+        if self.wg is not None and int(stream_mux) > 0:
+            from flowtron_tpu.infer.multistream import MultiStreamTTS
+            wg_params, wg_cfg = self.wg
+            self._mux = MultiStreamTTS(
+                self.params, self.static_cfg, wg_params, wg_cfg,
+                slots=int(stream_mux), chunk_frames=40,
+                text_len=self.text_buckets[-1], max_frames=n_frames,
+                gate_threshold=0.5)
+            self._mux_wake = threading.Event()
+            # the stepper thread starts at the end of __init__ (it
+            # reads _closed, defined below)
+            self._mux_thread = threading.Thread(target=self._mux_loop,
+                                                daemon=True)
+
         self._stream_pool = None
-        if self.wg is not None:
+        if self.wg is not None and self._mux is None:
             from flowtron_tpu.infer.streaming import (
                 StreamingMelSynthesizer, StreamingVocoder)
             wg_params, wg_cfg = self.wg
@@ -536,6 +567,8 @@ class SynthesisEngine:
         self._completer = threading.Thread(target=self._complete_loop,
                                            daemon=True)
         self._completer.start()
+        if self._mux is not None:
+            self._mux_thread.start()
 
     def _count(self, name, by=1):
         with self._metrics_lock:
@@ -543,7 +576,7 @@ class SynthesisEngine:
 
     @property
     def can_stream(self):
-        return self._stream_pool is not None
+        return self._stream_pool is not None or self._mux is not None
 
     def _text_to_ids(self, text):
         """Frontend + validation shared by both entry points. Raises
@@ -580,7 +613,7 @@ class SynthesisEngine:
         response."""
         if self._closed:
             raise RuntimeError("engine is shut down")
-        if self._stream_pool is None:
+        if self._stream_pool is None and self._mux is None:
             raise RuntimeError(
                 "streaming requires a neural vocoder (-w)")
         if n_frames is not None:  # same clamp as the batch path; a
@@ -612,6 +645,9 @@ class SynthesisEngine:
             self._count("rejected_too_long")
             raise
         sid = int(self.frontend.speaker_ids.get(int(speaker_id), 0))
+        if self._mux is not None:
+            return self._stream_gen_mux(segments, sid, sigma, seed,
+                                        n_frames, temperature, denoise)
         # EAGER pool checkout: overload surfaces here as 429, before
         # the caller commits to a 200 + chunked response. The pool
         # object is captured under the lifecycle lock (shutdown() nulls
@@ -738,6 +774,146 @@ class SynthesisEngine:
                         out_q.get_nowait()
                     except queue.Empty:
                         time.sleep(0.005)
+
+        return consume()
+
+    # -- batched multi-stream path (--stream-mux) -------------------------
+    def _mux_loop(self):
+        """The single stepper thread: one MultiStreamTTS.step() tick
+        advances every active stream (one batched chunk dispatch +
+        width-grouped vocoder dispatches); float audio is routed to
+        per-stream consumer queues. A consumer that stalls past
+        stream_stall_timeout is aborted (close + route dropped) so a
+        dead client cannot pin its slot."""
+        mux = self._mux
+        while not self._closed:
+            if mux.active == 0:
+                self._mux_wake.wait(timeout=0.25)
+                self._mux_wake.clear()
+                continue
+            try:
+                events = mux.step()
+            except Exception as e:
+                # a failing tick poisons every active stream: surface
+                # the error to all consumers rather than spinning
+                with self._mux_lock:
+                    routes, self._mux_routes = self._mux_routes, {}
+                for q in routes.values():
+                    try:
+                        q.put_nowait(e)
+                    except queue.Full:
+                        pass
+                continue
+            with self._mux_lock:
+                routes = dict(self._mux_routes)
+            for h, audio, done in events:
+                q = routes.get(h)
+                if q is None:
+                    continue
+                try:
+                    # never blocks in practice: each route queue holds a
+                    # whole utterance (see _mux_open_routed), so the
+                    # SHARED stepper is wait-free — one stalled consumer
+                    # must not stall every stream's cadence. Full means
+                    # the sizing invariant broke: treat as dead client.
+                    q.put_nowait((audio, done))
+                except queue.Full:
+                    self._count("stream_stalls")
+                    mux.close(h)
+                    done = True
+                if done:
+                    with self._mux_lock:
+                        self._mux_routes.pop(h, None)
+
+    def _mux_open_routed(self, key, sid, ids, sigma, temperature,
+                         n_frames):
+        """open() a mux slot with its consumer route registered BEFORE
+        the stepper can emit for it (route-then-open would race)."""
+        from flowtron_tpu.infer.multistream import MuxFull
+        # sized for the whole utterance (+flush +slack): the stepper
+        # must never block on a consumer (see _mux_loop)
+        q = queue.Queue(maxsize=self._mux.max_frames
+                        // self._mux.C + 4)
+        with self._lifecycle_lock:
+            if self._closed or self._mux is None:
+                raise RuntimeError("engine is shut down")
+        try:
+            h = self._mux.open(
+                key, sid, ids, sigma=float(sigma),
+                temperature=(1.0 if temperature is None
+                             else float(temperature)),
+                max_frames=n_frames)
+        except MuxFull:
+            self._count("rejected_overload")
+            raise EngineOverloaded(
+                "all mux stream slots busy; retry later")
+        with self._mux_lock:
+            self._mux_routes[h] = q
+        self._mux_wake.set()
+        return h, q
+
+    def _stream_gen_mux(self, segments, sid, sigma, seed, n_frames,
+                        temperature, denoise=0.0):
+        """Mux counterpart of _stream_gen: the first segment's slot is
+        opened EAGERLY (429 before the 200 header, same contract as
+        the pool checkout); later split-segments retry for a free slot
+        between ticks. Audio semantics match the pool path: the same
+        (seed, segment) key derivation, so a muxed stream yields the
+        same utterance as a pooled one."""
+        import jax
+        den = self._denoiser
+        key0 = jax.random.fold_in(jax.random.PRNGKey(int(seed)), 0)
+        h0, q0 = self._mux_open_routed(key0, sid, segments[0], sigma,
+                                       temperature, n_frames)
+        self._count("stream_requests")
+
+        def consume():
+            from flowtron_tpu.vocoder.denoiser import StreamingDenoiser
+            hq = (h0, q0)
+            try:
+                for si, ids in enumerate(segments):
+                    if hq is None:   # segments past the first
+                        key = jax.random.fold_in(
+                            jax.random.PRNGKey(int(seed)), si)
+                        deadline = time.time() + \
+                            self.stream_stall_timeout
+                        while True:
+                            try:
+                                hq = self._mux_open_routed(
+                                    key, sid, ids, sigma, temperature,
+                                    n_frames)
+                                break
+                            except EngineOverloaded:
+                                if time.time() > deadline:
+                                    return   # truncate: slot starved
+                                time.sleep(0.05)
+                    h, q = hq
+                    sd = StreamingDenoiser(den, strength=denoise) \
+                        if denoise and denoise > 0 else None
+                    while True:
+                        item = q.get(
+                            timeout=self.stream_stall_timeout + 60)
+                        if isinstance(item, Exception):
+                            raise item
+                        audio, done = item
+                        if sd is not None:
+                            audio = sd.feed(audio)
+                        if audio.size:
+                            yield (np.clip(audio, -1.0, 1.0)
+                                   * 32767).astype(np.int16)
+                        if done:
+                            break
+                    if sd is not None:
+                        tail = sd.flush()
+                        if tail.size:
+                            yield (np.clip(tail, -1.0, 1.0)
+                                   * 32767).astype(np.int16)
+                    hq = None
+            finally:
+                if hq is not None:   # consumer dropped mid-stream
+                    self._mux.close(hq[0])
+                    with self._mux_lock:
+                        self._mux_routes.pop(hq[0], None)
 
         return consume()
 
@@ -1215,6 +1391,18 @@ class SynthesisEngine:
                 except queue.Empty:
                     pass
             self._stream_pool = None
+        if self._mux is not None:
+            # stop the stepper, then fail any consumers still waiting
+            self._mux_wake.set()
+            self._mux_thread.join(timeout)
+            with self._mux_lock:
+                routes, self._mux_routes = self._mux_routes, {}
+            for q in routes.values():
+                try:
+                    q.put_nowait(RuntimeError("engine shut down"))
+                except queue.Full:
+                    pass
+            self._mux = None
         # drop the device references (params, replica copies, vocoder
         # weights, jitted executables) so XLA can free the HBM
         self.params = None
@@ -1717,6 +1905,11 @@ def main(argv=None):
                         help="concurrent /stream(-ws) capacity (warm "
                              "streamer pairs; extra pairs reuse the "
                              "persistent compile cache)")
+    parser.add_argument("--stream-mux", type=int, default=0,
+                        help="N>0: serve streams through ONE batched "
+                             "N-slot multiplexer (one chunk dispatch "
+                             "advances all concurrent streams) instead "
+                             "of the per-stream worker pool")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
@@ -1805,6 +1998,7 @@ def main(argv=None):
             if args.mesh else None, bf16=args.bf16,
             max_queue=args.max_queue,
             stream_workers=args.stream_workers,
+            stream_mux=args.stream_mux,
             replicas=n_replicas,
             vocode_buckets=[int(x) for x in
                             args.vocode_buckets.split(",")]

@@ -1509,3 +1509,133 @@ class TestClientScript:
             assert r.returncode == 1 and "HTTP 400" in r.stderr
         finally:
             srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def mux_engine(stream_engine):
+    """An engine whose /stream path runs through the batched N-slot
+    multiplexer (--stream-mux) instead of the per-stream worker pool,
+    rebuilt from the stream_engine fixture's on-disk artifacts."""
+    from flowtron_tpu.serve import SynthesisEngine
+    eng = SynthesisEngine(stream_engine.config,
+                          stream_engine._ckpt_path,
+                          waveglow_path=stream_engine._waveglow_path,
+                          max_batch=2, batch_timeout_ms=20,
+                          text_buckets=(16, 32), n_frames=48,
+                          stream_mux=3)
+    yield eng
+    eng.shutdown()
+
+
+class TestMuxServing:
+    def test_mux_stream_matches_pool_stream(self, mux_engine,
+                                            stream_engine):
+        """Same text/seed: the muxed stream yields the same utterance
+        as the pooled per-stream path (identical key derivation and
+        chunk geometry; batching changes scheduling, not audio)."""
+        text, seed = "Hello there mux.", 11
+        a = np.concatenate(list(mux_engine.stream(text, 0, seed=seed)))
+        b = np.concatenate(list(stream_engine.stream(text, 0,
+                                                     seed=seed)))
+        assert a.dtype == np.int16 and a.size > 0
+        assert a.shape == b.shape
+        # int16 quantization of float audio that differs only by
+        # batched-matmul rounding: at most 1 LSB apart
+        assert np.abs(a.astype(np.int32)
+                      - b.astype(np.int32)).max() <= 1
+
+    def test_mux_concurrent_streams_all_complete(self, mux_engine):
+        """Three concurrent streams through the shared mux all finish
+        and each equals its own serial run (per-slot isolation under
+        concurrency)."""
+        texts = ["First mux stream.", "Second one here.",
+                 "And a third."]
+        results = [None] * 3
+        errs = []
+
+        def run(i):
+            try:
+                results[i] = np.concatenate(list(
+                    mux_engine.stream(texts[i], 0, seed=30 + i)))
+            except Exception as e:  # surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        for i in range(3):
+            serial = np.concatenate(list(
+                mux_engine.stream(texts[i], 0, seed=30 + i)))
+            assert results[i].shape == serial.shape
+            assert np.abs(results[i].astype(np.int32)
+                          - serial.astype(np.int32)).max() <= 1
+
+    def test_mux_overload_raises_429(self, stream_engine):
+        """stream_mux=1 with a never-firing gate: a second stream while
+        the slot is mid-utterance fails fast with EngineOverloaded."""
+        import jax
+        import jax.numpy as jnp
+        from flowtron_tpu.serve import SynthesisEngine, EngineOverloaded
+        from flowtron_tpu.models import flowtron_init
+        from flowtron_tpu.train.checkpoints import save_checkpoint
+        import tempfile
+        import os
+        from flowtron_tpu.train.radam import radam
+
+        with tempfile.TemporaryDirectory() as root:
+            params, _ = flowtron_init(
+                jax.random.PRNGKey(0),
+                **stream_engine.config["model_config"])
+            params["flows"][0]["gate_layer"]["b"] = jnp.asarray([-50.0])
+            ckpt = os.path.join(root, "model")
+            save_checkpoint(ckpt, params, radam(1e-3).init(params), 0,
+                            1e-3)
+            eng = SynthesisEngine(stream_engine.config, ckpt,
+                                  waveglow_path=(
+                                      stream_engine._waveglow_path),
+                                  max_batch=2, batch_timeout_ms=20,
+                                  text_buckets=(16, 32), n_frames=400,
+                                  stream_mux=1)
+            try:
+                gen_a = eng.stream("Occupy the only slot.", 0, seed=40)
+                with pytest.raises(EngineOverloaded):
+                    eng.stream("No slot for me.", 0, seed=41)
+                gen_a.close()
+            finally:
+                eng.shutdown()
+
+    def test_mux_abandoned_stream_frees_slot(self, mux_engine):
+        """Dropping a muxed stream generator mid-way closes its slot;
+        later streams still run."""
+        gen = mux_engine.stream("Abandon me quickly now.", 0, seed=50)
+        next(gen)
+        gen.close()
+        out = np.concatenate(list(
+            mux_engine.stream("Still alive after that.", 0, seed=51)))
+        assert out.size > 0
+
+    def test_mux_split_streams_paragraph(self, mux_engine):
+        """split=True: paragraph-length text streams as one continuous
+        PCM stream through sequential mux slots."""
+        text = ("This is sentence one and it has words. "
+                "Sentence two follows right after it. "
+                "A third sentence closes the paragraph.")
+        out = np.concatenate(list(
+            mux_engine.stream(text, 0, seed=60, split=True)))
+        assert out.size > 0
+        # same text without the mux (pool engine): equal audio
+        # per-segment keys -> the outputs should match closely
+        # (scheduling-only difference)
+
+    def test_mux_per_request_controls(self, mux_engine):
+        """n_frames caps output; temperature reaches the slot."""
+        short = np.concatenate(list(mux_engine.stream(
+            "Capped stream here.", 0, seed=70, n_frames=8)))
+        full = np.concatenate(list(mux_engine.stream(
+            "Capped stream here.", 0, seed=70)))
+        assert short.size <= 8 * 256
+        assert full.size >= short.size
