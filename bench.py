@@ -126,6 +126,7 @@ def main():
     e2e_rtf, e2e_detail = bench_e2e(params, cfg)
     stream_detail = bench_stream(params, cfg)
     serving_detail = bench_serving()
+    mux_detail = bench_mux(params, cfg)
     train_detail = bench_training(params, cfg)
 
     print(json.dumps({
@@ -146,6 +147,7 @@ def main():
                    "e2e": e2e_detail,
                    "stream": stream_detail,
                    "serving": serving_detail,
+                   "mux": mux_detail,
                    "train": train_detail},
     }))
 
@@ -265,6 +267,56 @@ def bench_stream(params, cfg, N=400):
                 (best[-1] - best[0]) / max(1, len(best) - 1) * 1e3, 1),
             "n_chunks": len(best),
             "agg_rtf": round(best[-1] / audio_s, 4)}
+
+
+def bench_mux(params, cfg, N=8, n_frames=400):
+    """Batched multi-stream mux (round 4, serve --stream-mux): N
+    concurrent streams through ONE fused tick dispatch + width-grouped
+    vocoder windows, at the flagship 2-flow serving topology in bf16.
+    Reports aggregate RTF, warm tick cadence and per-stream TTFA
+    (open incl. the B=1 gated prelude + the first tick). Full study vs
+    the per-stream pool: scripts/bench_multistream.py / ROADMAP
+    (4.1x/6.3x/8.5x at N=4/8/16 on the 1-flow topology)."""
+    from flowtron_tpu.vocoder import waveglow_init
+    from flowtron_tpu.infer.multistream import MultiStreamTTS
+
+    wg_params, wg_cfg = waveglow_init(jax.random.PRNGKey(1))
+
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree)
+
+    p16, wg16 = to_bf16(params), to_bf16(wg_params)
+    rng = np.random.default_rng(5)
+    texts = [rng.integers(1, 185, (128,)) for _ in range(N)]
+    mux = MultiStreamTTS(p16, cfg, wg16, wg_cfg, slots=N,
+                         chunk_frames=40, text_len=128,
+                         max_frames=n_frames, gate_threshold=1e6)
+    for rep in range(2):             # rep 0 warms the compile cache
+        t0 = time.perf_counter()
+        open_ts = []
+        for i in range(N):
+            ts = time.perf_counter()
+            mux.open(jax.random.PRNGKey(300 + i), 0, texts[i])
+            open_ts.append(time.perf_counter() - ts)
+        ticks, ttfa = [], None
+        while mux.active:
+            tt = time.perf_counter()
+            evs = mux.step()
+            ticks.append(time.perf_counter() - tt)
+            if ttfa is None and any(a.size for _, a, _ in evs):
+                ttfa = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+    audio_s = n_frames * 256 / 22050.0
+    cad = sorted(ticks[1:-1]) if len(ticks) > 2 else sorted(ticks)
+    return {"slots": N, "topology": f"{cfg['n_flows']}-flow",
+            "dtype": "bf16",
+            "agg_rtf": round(wall / (N * audio_s), 4),
+            "tick_p50_ms": round(cad[len(cad) // 2] * 1e3, 1),
+            "open_ms": round(1e3 * sum(open_ts) / len(open_ts), 1),
+            "ttfa_ms": round(ttfa * 1e3, 1)}
 
 
 def bench_serving():

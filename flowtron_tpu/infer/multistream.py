@@ -7,18 +7,29 @@ and N× the decoder weight-tile loading (the measured B=1 floor — see
 ROADMAP "fused kernel physics": the scan step is weight-load-bound, so
 a B=8 chunk costs about the same wall-clock as B=1). This module
 amortizes both: a fixed pool of B slots advances ALL active streams
-with ONE chunk dispatch per tick, and vocoder windows are batched
+with ONE fused chunk dispatch per tick, and vocoder windows are batched
 across slots.
 
 TPU-first constraints drive the design:
-- **Fixed shapes, compiled once**: the chunk step always runs at
-  (chunk_frames, slots, n_mel) with text at one fixed Tk; empty slots
-  ride along as zeros (free — the step is weight-load-bound, not
-  FLOP-bound at these batch sizes). Joining a stream never recompiles.
-- **Join/leave between ticks**: a joining slot's scan-carry rows are
-  zeroed and its encoder column / key-mask row / temperature entry
-  written in place (`.at[slot].set`) — the AR state is positionless,
-  so slots at different utterance offsets share one dispatch.
+- **Fixed shapes, compiled once**: the tick always runs at
+  (chunk_frames, slots, n_mel) with text at one fixed Tk and vocoder
+  groups padded to the full slot count; empty slots ride along as
+  garbage lanes (free — the step is weight-load-bound, not FLOP-bound
+  at these batch sizes). Joining a stream never recompiles.
+- **One dispatch per stage**: the whole tick (per-slot latent
+  generation, fresh-slot carry zeroing by mask, the AR chunk scan) is
+  ONE jitted program; mel+gates come back in ONE packed fetch; each
+  vocoder width group is one dispatch. Joining is one encode dispatch
+  plus ONE jitted buffer-update dispatch (dynamic_update_slice at a
+  traced slot index — no per-slot program specialization). This
+  matters doubly on the dev tunnel (~27 ms per dispatch) and keeps
+  host overhead flat on-host.
+- **Join/leave between ticks**: a joining slot's encoder column,
+  key-mask row, temperature/sigma/key entries are written in place;
+  its scan-carry rows are zeroed INSIDE the next tick via a fresh-slot
+  mask (so there is no host-device race on the carry). The AR state is
+  positionless, so slots at different utterance offsets share one
+  dispatch.
 - **Per-slot everything**: latent keys, sigma, temperature ((B, 1)
   vectors — models/ar_step.py broadcasts them through the scan), gate
   n_valid, vocoder emission offsets. Each slot's audio equals the B=1
@@ -26,9 +37,8 @@ TPU-first constraints drive the design:
   pins it stream-by-stream, including ragged gates and mid-run joins).
 - **Batched vocoder windows**: slots with audio ready this tick are
   grouped by (bucketed) window width; each group is one WaveGlow
-  dispatch with per-slot mel windows, per-slot absolute positions for
-  the position-keyed latents (every slot's z equals its B=1 draw), and
-  group sizes padded to powers of two to bound compile count.
+  dispatch with per-slot mel windows and per-slot absolute positions
+  for the position-keyed latents (every slot's z equals its B=1 draw).
 
 The reference has no streaming at all (reference:inference.py:40-132
 synthesizes the full utterance, then runs the full vocoder); this is
@@ -58,7 +68,7 @@ class MuxFull(RuntimeError):
 
 class _Slot:
     __slots__ = ("handle", "key", "voc_key", "sigma", "c", "n_valid",
-                 "fired", "z1", "mel_buf", "emitted", "done_mel",
+                 "fired", "mel_buf", "emitted", "done_mel",
                  "max_frames", "fresh", "pending_close", "joined")
 
     def __init__(self, handle, key, voc_key, sigma, max_frames):
@@ -69,15 +79,13 @@ class _Slot:
         self.c = 0                # chunks consumed
         self.n_valid = None       # known after prelude (2-flow) / gate
         self.fired = False        # 1-flow: gate seen
-        self.z1 = None            # (N, n_mel) flow-0 latents (2-flow)
         self.mel_buf = None       # host (n_mel, F) vocoder input buffer
         self.emitted = 0          # vocoder frames emitted
         self.done_mel = False     # mel stage exhausted
         self.max_frames = max_frames
-        self.fresh = True         # carry rows need zeroing (stepper's
-        #                           job — only step() mutates the carry)
+        self.fresh = True         # carry rows zeroed by the next tick
         self.pending_close = False
-        self.joined = False       # device state (enc/mask/temp) written
+        self.joined = False       # device state committed
 
 
 class MultiStreamTTS:
@@ -90,8 +98,8 @@ class MultiStreamTTS:
         mux = MultiStreamTTS(params, cfg, wg_params, wg_cfg, slots=8)
         h = mux.open(jax.random.PRNGKey(1), speaker_id=0, text_ids=ids)
         while mux.active:
-            for slot, audio, done in mux.step():
-                ...  # audio: (n,) float32 in [-1, 1]; done frees `slot`
+            for handle, audio, done in mux.step():
+                ...  # audio: (n,) float32 in [-1, 1]; done ends it
 
     Per-stream outputs match the B=1 StreamingMelSynthesizer +
     StreamingVocoder pipeline run with the same key (same chunk size,
@@ -117,6 +125,10 @@ class MultiStreamTTS:
         self.lookahead = int(lookahead)
         self.n_flows = int(config["n_flows"])
         self.n_mel = int(config["n_mel_channels"])
+        # 2-flow latents are stored chunk-aligned so the tick's
+        # dynamic_slice never clamps (clamping would shift values vs
+        # the B=1 path's zero-padded tail chunk)
+        self._Npad = -(-self.max_frames // self.C) * self.C
 
         from flowtron_tpu.utils.weights import resolve_weight
         self._dtype = resolve_weight(
@@ -130,38 +142,120 @@ class MultiStreamTTS:
         #                           lifetime (slots get reused; handles
         #                           never do — step() events carry them)
 
-        B, Tk = self.slots, self.Tk
+        B, Tk, M, C = self.slots, self.Tk, self.n_mel, self.C
+        dt = self._dtype
         # batched per-slot device state; empty slots: zero enc, a
         # one-key mask (an all-masked attention row would softmax to
-        # NaN), neutral temperature
+        # NaN), neutral temperature/sigma/keys (their lanes compute
+        # garbage that nothing reads; joins zero the carry rows)
         self._enc = None          # (Tk, B, D) — lazy: D after 1st encode
         km = np.zeros((B, Tk), bool)
         km[:, 0] = True
         self._key_mask = jnp.asarray(km)
         self._temp = jnp.ones((B, 1), jnp.float32)
-        self._carry = None        # stepper-owned (see _Slot.fresh)
+        self._sigma = jnp.ones((B,), jnp.float32)
+        self._keys = jnp.zeros((B, 2), jnp.uint32)
+        self._z1_buf = (jnp.zeros((B, self._Npad, M), dt)
+                        if self.n_flows > 1 else None)
+        self._carry = None        # allocated on the first tick
 
         def encode1(p, sid, text, key_mask):
             return _encode_text(p, config, sid, text, key_mask)
 
-        def chunk_step(p, z_chunk, enc, key_mask, carry, temp):
+        self._encode1 = jax.jit(encode1)
+
+        def join(enc_buf, km_buf, temp_buf, sig_buf, key_buf,
+                 enc1, km1, t, sg, k, b):
+            """All of a join's buffer writes in ONE dispatch, with the
+            slot index traced (no per-slot program specialization)."""
+            enc_buf = jax.lax.dynamic_update_slice(
+                enc_buf, enc1.astype(enc_buf.dtype), (0, b, 0))
+            km_buf = jax.lax.dynamic_update_slice(km_buf, km1, (b, 0))
+            temp_buf = jax.lax.dynamic_update_slice(
+                temp_buf, t[None, None], (b, 0))
+            sig_buf = jax.lax.dynamic_update_slice(
+                sig_buf, sg[None], (b,))
+            key_buf = jax.lax.dynamic_update_slice(
+                key_buf, k[None, :], (b, 0))
+            return enc_buf, km_buf, temp_buf, sig_buf, key_buf
+
+        self._join = jax.jit(join)
+
+        def _zero_fresh(carry, fresh_mask):
+            return jax.tree.map(
+                lambda x: jnp.where(
+                    fresh_mask.reshape((B,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros((), x.dtype), x),
+                carry)
+
+        def chunk_core(p, z_chunk, enc, key_mask, carry, temp):
             return ar_step_infer(
                 p["flows"][0], z_chunk, enc, key_mask=key_mask,
                 temperature=temp, carry=carry, return_carry=True)
 
-        self._encode1 = jax.jit(encode1)
-        self._chunk = jax.jit(chunk_step)
+        if self.n_flows == 1:
+            def tick(p, enc, key_mask, carry, temp, keys, sigmas, cs,
+                     fresh_mask):
+                """ONE dispatch: per-slot z draws (each exactly the
+                B=1 streamer's (C, 1, M) fold_in draw), fresh-slot
+                carry zeroing, and the batched AR chunk scan. Returns
+                mel+gates packed into one array (one host fetch)."""
+                carry = _zero_fresh(carry, fresh_mask)
 
-        self._prelude1 = None
+                def draw(k, c, sg):
+                    # sg cast to the compute dtype first: an f32 sigma
+                    # array would promote a bf16 draw to f32 (the B=1
+                    # path's weak Python-float sigma stays in dtype)
+                    return sg.astype(dt) * jax.random.normal(
+                        jax.random.fold_in(k, c), (C, 1, M), dt)
+
+                z = jax.vmap(draw)(keys, cs, sigmas)    # (B, C, 1, M)
+                z = jnp.transpose(z[:, :, 0, :], (1, 0, 2))
+                mel, _attn, gates, carry = chunk_core(
+                    p, z, enc, key_mask, carry, temp)
+                # gates: (C, B) raw — packed as an extra mel channel so
+                # the host needs only ONE fetch per tick
+                packed = jnp.concatenate(
+                    [mel, gates[:, :, None].astype(mel.dtype)], axis=2)
+                return packed, carry
+        else:
+            def tick(p, enc, key_mask, carry, temp, z1_buf, cs,
+                     fresh_mask):
+                """2-flow variant: z chunks sliced from the stored
+                flow-0 latent buffer (chunk-aligned, so slices never
+                clamp)."""
+                carry = _zero_fresh(carry, fresh_mask)
+
+                def slice1(zb, c):
+                    return jax.lax.dynamic_slice(zb, (c * C, 0),
+                                                 (C, M))
+
+                z = jax.vmap(slice1)(z1_buf, cs)        # (B, C, M)
+                z = jnp.transpose(z, (1, 0, 2))
+                mel, _attn, gates, carry = chunk_core(
+                    p, z, enc, key_mask, carry, temp)
+                # gates: (C, B) raw — packed as an extra mel channel so
+                # the host needs only ONE fetch per tick
+                packed = jnp.concatenate(
+                    [mel, gates[:, :, None].astype(mel.dtype)], axis=2)
+                return packed, carry
+
+        self._tick = jax.jit(tick)
+
+        self._prelude1 = self._store_z1 = None
         if self.n_flows > 1:
             n_flows, gate_thr = self.n_flows, self.gate_threshold
+            Nmax, Npad = self.max_frames, self._Npad
 
-            def prelude(p, residual, enc, key_mask, temp):
+            def prelude(p, k, sg, enc, key_mask, temp):
                 """Flows n-1..1 of the reversed inference chain for ONE
                 joining stream (reference:flowtron.py:924-929 minus the
-                final inverse) — the same math as
-                StreamingMelSynthesizer._stream_two_stage's prelude."""
-                z = residual
+                final inverse) — the same math (and the same latent
+                draw shape, so the same key gives the same utterance)
+                as StreamingMelSynthesizer._stream_two_stage."""
+                residual = sg.astype(dt) * jax.random.normal(
+                    k, (1, M, Nmax), dt)
+                z = jnp.transpose(residual, (2, 0, 1))
                 n_valid = None
                 for rev_i, flow_params in enumerate(
                         reversed(p["flows"][1:])):
@@ -174,15 +268,22 @@ class MultiStreamTTS:
                 if n_valid is None:
                     n_valid = jnp.full((z.shape[1],), z.shape[0],
                                        jnp.int32)
-                return z, n_valid
+                z1 = jnp.pad(z[:, 0], ((0, Npad - Nmax), (0, 0)))
+                return z1, n_valid
+
+            def store_z1(z1_buf, z1, b):
+                return jax.lax.dynamic_update_slice(
+                    z1_buf, z1[None], (b, 0, 0))
 
             self._prelude1 = jax.jit(prelude)
+            self._store_z1 = jax.jit(store_z1)
 
         # batched sliding-window vocoder: per-slot windows, absolute
-        # starts and latent keys; one compile per (group-size bucket,
-        # width bucket)
+        # starts and latent keys, always padded to the full slot count
+        # — ONE compiled program per window width, always warm at any
+        # occupancy (under-occupied lanes are idle device time anyway)
         sq = HOP // wg_config["n_group"]
-        wg_sig, dt = self.wg_sigma, self._dtype
+        wg_sig = self.wg_sigma
         n_early_every = wg_config["n_early_every"]
         n_wg_flows = wg_config["n_flows"]
 
@@ -223,13 +324,14 @@ class MultiStreamTTS:
 
     def open(self, key, speaker_id, text_ids, in_len=None, sigma=0.5,
              temperature=1.0, max_frames=None):
-        """Register a stream; returns its slot handle.
+        """Register a stream; returns its unique handle.
 
         key: PRNG key — the stream's latents are a pure function of it
         (split into mel/vocoder halves exactly like stream_tts).
         text_ids: (n,) int ids, n <= text_len. Raises MuxFull when no
-        slot is free. The prelude for multi-flow models runs here (one
-        B=1 dispatch), so open() is the TTFA-critical call."""
+        slot is free. Device cost: one encode dispatch + one buffer-
+        update dispatch (+ the prelude for multi-flow models, which
+        makes open() the TTFA-critical call there)."""
         text_ids = np.asarray(text_ids)
         n = int(in_len) if in_len is not None else int(text_ids.shape[0])
         if n < 1:
@@ -257,18 +359,13 @@ class MultiStreamTTS:
         km1 = sequence_mask(jnp.asarray([n]), self.Tk)      # (1, Tk)
         enc1 = self._encode1(self.params, sid, jnp.asarray(text_pad),
                              km1)                           # (Tk, 1, D)
+        t_arr = jnp.asarray(float(temperature), jnp.float32)
+        sg_arr = jnp.asarray(float(sigma), jnp.float32)
 
+        z1 = None
         if self.n_flows > 1:
-            # (1, n_mel, N) then transpose — the exact draw shape of
-            # StreamingMelSynthesizer._stream_two_stage, so the same
-            # key yields the same utterance
-            residual = slot.sigma * jax.random.normal(
-                k_mel, (1, self.n_mel, self.max_frames), self._dtype)
-            z_tbm = jnp.transpose(residual, (2, 0, 1))
-            z1, nv = self._prelude1(self.params, z_tbm, enc1, km1,
-                                    jnp.asarray(float(temperature),
-                                                jnp.float32))
-            slot.z1 = z1[:, 0]                              # (N, n_mel)
+            z1, nv = self._prelude1(self.params, k_mel, sg_arr, enc1,
+                                    km1, t_arr)
             slot.n_valid = max(1, min(int(np.asarray(nv)[0]), cap))
 
         with self._lock:
@@ -277,9 +374,14 @@ class MultiStreamTTS:
             if self._enc is None:
                 self._enc = jnp.zeros(
                     (self.Tk, self.slots, enc1.shape[2]), enc1.dtype)
-            self._enc = self._enc.at[:, b].set(enc1[:, 0])
-            self._key_mask = self._key_mask.at[b].set(km1[0])
-            self._temp = self._temp.at[b, 0].set(float(temperature))
+            b_arr = jnp.asarray(b, jnp.int32)
+            (self._enc, self._key_mask, self._temp, self._sigma,
+             self._keys) = self._join(
+                self._enc, self._key_mask, self._temp, self._sigma,
+                self._keys, enc1, km1, t_arr, sg_arr,
+                jnp.asarray(k_mel, jnp.uint32), b_arr)
+            if z1 is not None:
+                self._z1_buf = self._store_z1(self._z1_buf, z1, b_arr)
             slot.joined = True
         return handle
 
@@ -303,11 +405,27 @@ class MultiStreamTTS:
             s = self._find(handle)
             return None if s is None else s.n_valid
 
+    def warmup(self, ticks=None):
+        """Compile the whole serving path before real traffic: run one
+        throwaway stream (its slot frees itself) covering the tick
+        program, the join program, and the first/steady/flush vocoder
+        window widths. Group sizes are always padded to the slot
+        count, so one stream compiles the same programs full occupancy
+        uses."""
+        h = self.open(jax.random.PRNGKey(0), 0,
+                      np.ones((min(4, self.Tk),), np.int64),
+                      max_frames=min(self.max_frames, 3 * self.C))
+        n = 0
+        while self.active and (ticks is None or n < ticks):
+            for hh, _a, _d in self.step():
+                pass
+            n += 1
+
     # -- the tick ---------------------------------------------------------
     def _init_carry(self):
         """Explicit zero carry matching ar_step_infer's fresh-start
-        layout, so the chunk step compiles ONE trace (the carry is
-        always a concrete pytree, never None)."""
+        layout, so the tick compiles ONE trace (the carry is always a
+        concrete pytree, never None)."""
         from flowtron_tpu.infer.quantize import weight_shape
         p = self.params["flows"][0]
         H = weight_shape(p["lstm"]["layers"][0]["w_hh"])[0]
@@ -323,7 +441,7 @@ class MultiStreamTTS:
                 z(B, M), z(B, Tk), z(B, Tk))
 
     def step(self):
-        """Advance every joined stream one mel chunk with ONE decoder
+        """Advance every joined stream one mel chunk with ONE fused
         dispatch, vocode ready spans in width-grouped batches, and
         return [(handle, audio (n,) float32, done), ...]. A done
         stream's slot is freed before returning. Returns [] when
@@ -335,57 +453,43 @@ class MultiStreamTTS:
             live = [(b, s) for b, s in enumerate(self._slots)
                     if s is not None and s.joined]
             enc, key_mask, temp = self._enc, self._key_mask, self._temp
-            fresh = [b for b, s in live if s.fresh]
-            for _, s in live:
-                s.fresh = False
+            keys, sigmas, z1_buf = self._keys, self._sigma, self._z1_buf
+            fresh_mask = np.zeros((self.slots,), bool)
+            for b, s in live:
+                if s.fresh:
+                    fresh_mask[b] = True
+                    s.fresh = False
         if not live:
             return []
 
         C, M, B = self.C, self.n_mel, self.slots
         if self._carry is None:
             self._carry = self._init_carry()
-        elif fresh:
-            # zero the joining slots' carry rows — done here (stepper
-            # thread) so a tick in flight can never clobber the reset
-            idx = jnp.asarray(fresh)
-            self._carry = jax.tree.map(
-                lambda x: x.at[idx].set(0), self._carry)
 
         events = []
         mel_live = [(b, s) for b, s in live if not s.done_mel]
         if mel_live:
-            # 1) per-slot z chunks, each drawn exactly as its B=1
-            #    streamer would; zeros in idle lanes
-            z_parts = {}
+            cs = np.zeros((B,), np.int32)
             for b, s in mel_live:
-                if s.z1 is not None:     # 2-flow: slice stored flow-0 z
-                    z_c = s.z1[s.c * C:(s.c + 1) * C]
-                    if z_c.shape[0] < C:
-                        z_c = jnp.concatenate(
-                            [z_c, jnp.zeros((C - z_c.shape[0], M),
-                                            z_c.dtype)], 0)
-                    z_parts[b] = z_c[:, None, :]
-                else:                    # 1-flow: per-chunk draw
-                    z_parts[b] = s.sigma * jax.random.normal(
-                        jax.random.fold_in(s.key, s.c), (C, 1, M),
-                        self._dtype)
-            z_chunk = jnp.concatenate(
-                [z_parts.get(b, jnp.zeros((C, 1, M), self._dtype))
-                 for b in range(B)], axis=1)           # (C, B, M)
+                cs[b] = s.c
+            if self.n_flows == 1:
+                packed, self._carry = self._tick(
+                    self.params, enc, key_mask, self._carry, temp,
+                    keys, sigmas, jnp.asarray(cs),
+                    jnp.asarray(fresh_mask))
+            else:
+                packed, self._carry = self._tick(
+                    self.params, enc, key_mask, self._carry, temp,
+                    z1_buf, jnp.asarray(cs), jnp.asarray(fresh_mask))
+            packed_h = np.asarray(packed, np.float32)  # ONE fetch
+            mel_h = packed_h[:, :, :M]                 # (C, B, M)
+            gates_h = packed_h[:, :, M]                # (C, B)
 
-            # 2) one batched chunk dispatch for every active stream
-            mel_c, _attn, gates_c, self._carry = self._chunk(
-                self.params, z_chunk, enc, key_mask, self._carry, temp)
-            mel_h = None      # host fetches, once per tick, lazily
-            gates_h = None
-
-            # 3) per-slot gate bookkeeping + mel emission (trimmed to
-            #    each stream's own n_valid — frames past a gate never
-            #    reach the vocoder)
+            # per-slot gate bookkeeping + mel emission (trimmed to
+            # each stream's own n_valid — frames past a gate never
+            # reach the vocoder)
             for b, s in mel_live:
                 if self._gate_in_stream and not s.fired:
-                    if gates_h is None:
-                        gates_h = np.asarray(gates_c, np.float32)
                     hit = gates_h[:, b] > self.gate_threshold
                     if hit.any():
                         s.fired = True
@@ -394,8 +498,6 @@ class MultiStreamTTS:
                 cap = s.n_valid if s.n_valid is not None else s.max_frames
                 n_real = min(C, cap - s.c * C)
                 if n_real > 0:
-                    if mel_h is None:
-                        mel_h = np.asarray(mel_c)
                     mel_b = mel_h[:n_real, b].T        # (n_mel, n_real)
                     s.mel_buf = mel_b if s.mel_buf is None else \
                         np.concatenate([s.mel_buf, mel_b], axis=1)
@@ -405,10 +507,10 @@ class MultiStreamTTS:
                     if s.n_valid is None:   # never gated: cap is final
                         s.n_valid = cap
 
-        # 4) vocoder: per-slot emission specs (push semantics; a slot
-        #    finishing its mel this tick adds the flush emit too, so
-        #    its window sequence equals the B=1 push-then-flush), then
-        #    one dispatch per distinct window width
+        # vocoder: per-slot emission specs (push semantics; a slot
+        # finishing its mel this tick adds the flush emit too, so its
+        # window sequence equals the B=1 push-then-flush), then one
+        # dispatch per distinct window width
         groups = {}   # width -> [(b, slot, e0, n, w0, at_end), ...]
 
         def enqueue(b, s, e0, n, at_end):
@@ -443,21 +545,22 @@ class MultiStreamTTS:
 
         for W, members in sorted(groups.items()):
             G = len(members)
-            Gp = 1 << (G - 1).bit_length()          # pad to power of 2
+            Gp = self.slots if G <= self.slots else \
+                1 << (G - 1).bit_length()
             mel_wins = np.zeros((Gp, M, W), np.float32)
             w0s = np.zeros((Gp,), np.int32)
-            keys = []
+            keys_l = []
             for i, (b, s, e0, n, w0, at_end) in enumerate(members):
                 mel_wins[i] = s.mel_buf[:, w0:w0 + W]
                 w0s[i] = w0
-                keys.append(s.voc_key)
+                keys_l.append(s.voc_key)
             for i in range(G, Gp):                  # duplicate-pad
                 mel_wins[i] = mel_wins[0]
                 w0s[i] = w0s[0]
-                keys.append(keys[0])
+                keys_l.append(keys_l[0])
             audio = self._window_audio(
                 self.wg_params, jnp.asarray(mel_wins, self._dtype),
-                jnp.asarray(w0s), jnp.stack(keys))
+                jnp.asarray(w0s), jnp.stack(keys_l))
             audio = np.asarray(jax.device_get(audio), np.float32)
             for i, (b, s, e0, n, w0, at_end) in enumerate(members):
                 lo = (e0 - w0) * HOP

@@ -69,7 +69,7 @@ def wg_small():
 
 
 def solo_audio(params, config, wg, key, sid, ids, Tk, gate_threshold,
-               sigma=0.5):
+               sigma=0.5, dtype=jnp.float32):
     """The B=1 reference pipeline with mux-identical settings: padded
     text + in_lens (the mux always masks), same key split, same
     geometry. Returns (audio (n,), n_valid)."""
@@ -80,7 +80,7 @@ def solo_audio(params, config, wg, key, sid, ids, Tk, gate_threshold,
         gate_threshold=gate_threshold, max_frames=MAXF)
     voc = StreamingVocoder(wg_params, wg_cfg, k_voc, sigma=0.8,
                            context=GEO["context"],
-                           lookahead=GEO["lookahead"])
+                           lookahead=GEO["lookahead"], dtype=dtype)
     n = len(ids)
     text = np.zeros((1, Tk), np.int64)
     text[0, :n] = ids
@@ -309,3 +309,33 @@ class TestMux2Flow:
             # identical temperatures would compute bitwise-equal audio
             # (measured: ~1.5e-6 through the 0.05-scale test vocoder)
             assert np.abs(got[h_hot] - got[h_std]).max() > 0
+
+
+class TestMuxBf16:
+    def test_bf16_mux_matches_bf16_solo(self, model1, wg_small):
+        """The serving engines run bf16: the mux must keep the compute
+        dtype stable (an f32 per-slot sigma/temperature buffer must not
+        promote the scan carry — the B=1 path's Python-float controls
+        stay weakly typed) and match the bf16 solo pipeline."""
+        params, config = model1
+        wg_params, wg_cfg = wg_small
+
+        def cast(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x, t)
+
+        p16, wg16 = cast(params), cast(wg_params)
+        rng = np.random.default_rng(9)
+        ids = rng.integers(1, 185, (6,))
+        k = jax.random.PRNGKey(80)
+        mux = MultiStreamTTS(p16, config, wg16, wg_cfg, slots=2,
+                             text_len=12, max_frames=MAXF,
+                             gate_threshold=0.55, **GEO)
+        h = mux.open(k, 0, ids)
+        got = drain(mux, [h])[h]
+        want, _ = solo_audio(p16, config, (wg16, wg_cfg), k, 0, ids,
+                             12, 0.55, dtype=jnp.bfloat16)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-2)  # bf16 noise
