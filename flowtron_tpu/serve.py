@@ -578,6 +578,11 @@ class SynthesisEngine:
     def can_stream(self):
         return self._stream_pool is not None or self._mux is not None
 
+    @property
+    def active_mux_streams(self):
+        """Streams currently holding a mux slot (0 without --stream-mux)."""
+        return self._mux.active if self._mux is not None else 0
+
     def _text_to_ids(self, text):
         """Frontend + validation shared by both entry points. Raises
         ValueError on empty text, TextTooLong past the largest bucket
@@ -1076,6 +1081,9 @@ class SynthesisEngine:
             out["vocode_bucket_hits"] = {
                 str(k): v for k, v in out["vocode_bucket_hits"].items()}
         out["queue_depth"] = self.queue_depth
+        if self._mux is not None:
+            out["mux_active_streams"] = self.active_mux_streams
+            out["mux_slots"] = self._mux.slots
         if recent:
             r = sorted(recent)
             out["batch_ms_p50"] = round(r[len(r) // 2], 1)
@@ -1338,6 +1346,26 @@ class SynthesisEngine:
                                                temp)
                         np.asarray(nv)
                     n += 1
+        if self._mux is not None:
+            # the mux compiles its tick/join/window programs on the
+            # first stream — run one throwaway stream now. The stepper
+            # thread owns step(); a warmup stream through the normal
+            # open() path is stepped by it, so just drain the events.
+            from flowtron_tpu.infer.multistream import MuxFull
+            try:
+                h, q = self._mux_open_routed(
+                    self.jax.random.PRNGKey(0), 0,
+                    np.ones((4,), np.int64), 0.5, None,
+                    min(self.n_frames, 3 * self._mux.C))
+                while True:
+                    item = q.get(timeout=600)
+                    if isinstance(item, Exception):
+                        raise item
+                    if item[1]:
+                        break
+                n += 1
+            except (MuxFull, EngineOverloaded):
+                pass   # real traffic already warming it
         return {"programs": n, "seconds": round(time.time() - t0, 2)}
 
     def shutdown(self, timeout=60.0):

@@ -1639,3 +1639,51 @@ class TestMuxServing:
             "Capped stream here.", 0, seed=70)))
         assert short.size <= 8 * 256
         assert full.size >= short.size
+
+    def test_mux_engine_warmup_then_stream(self, mux_engine):
+        """warmup() runs a throwaway stream through the mux (compiling
+        tick/join/window programs) and leaves the engine serving."""
+        out = mux_engine.warmup()
+        assert out["programs"] >= 1
+        assert mux_engine.active_mux_streams == 0
+        pcm = np.concatenate(list(
+            mux_engine.stream("After warmup.", 0, seed=90)))
+        assert pcm.size > 0
+
+    def test_mux_http_stream_transport(self, mux_engine):
+        """Chunked-transfer /stream over a real HTTP server backed by
+        the mux; two concurrent clients."""
+        import json
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+        from flowtron_tpu.serve import make_handler
+        srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                                  make_handler(mux_engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/stream"
+            results = {}
+
+            def fetch(i):
+                req = urllib.request.Request(
+                    url, data=json.dumps(
+                        {"text": f"Client {i} speaking.",
+                         "seed": 80 + i}).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    assert r.headers.get(
+                        "Transfer-Encoding") == "chunked"
+                    results[i] = r.read()
+
+            ts = [threading.Thread(target=fetch, args=(i,))
+                  for i in range(2)]
+            for x in ts:
+                x.start()
+            for x in ts:
+                x.join(timeout=300)
+            for i in range(2):
+                assert results[i][:4] == b"RIFF"
+                assert len(results[i]) > 1000
+        finally:
+            srv.shutdown()
