@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Alignment learning on the coded-tone corpus (real TPU).
+
+The reference's training recipe is "train until attention looks
+diagonal" on recorded speech (reference:README.md:16-40). No speech
+ships in this container, but data/synth.py renders text as audio whose
+frames monotonically encode the character sequence — so the alignment
+is LEARNABLE and the quality-proxy metrics (train/evaluate.py) can
+witness it being learned, not just the NLL dropping.
+
+Runs the full production stack (data pipeline -> beta-binomial prior ->
+bf16 remat training via train() -> pickle checkpoints), evaluates every
+saved checkpoint, and prints the metric trajectory. The last checkpoint
+is additionally evaluated WITHOUT the attention prior: a model that
+merely rides the prior scores low there, one that internalized the
+alignment stays high.
+
+Usage: python scripts/exp_alignment_tpu.py [workdir] [iters]
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    wd = sys.argv[1] if len(sys.argv) > 1 else "/tmp/align_tpu"
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    os.makedirs(wd, exist_ok=True)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache"))
+
+    from flowtron_tpu.data.synth import make_aligned_corpus
+    train_fl, val_fl = make_aligned_corpus(
+        os.path.join(wd, "corpus"), n_utterances=72, n_speakers=1,
+        val_count=8, seed=0)
+
+    from flowtron_tpu.config import load_config
+    batch_size = 8
+    n_train = 64
+    iters_per_epoch = n_train // batch_size
+    ckpt_every = 250
+    cfg_path = os.path.join(os.path.dirname(__file__), "..",
+                            "config.json")
+    config = load_config(cfg_path, [
+        f"data_config.training_files={train_fl}",
+        f"data_config.validation_files={val_fl}",
+        "data_config.p_arpabet=0.0",
+        f"data_config.prior_cache_path={wd}/prior_cache",
+        "model_config.n_flows=1",            # the reference's stage-1
+        f"train_config.batch_size={batch_size}",
+        f"train_config.epochs={math.ceil(iters / iters_per_epoch)}",
+        f"train_config.iters_per_checkpoint={ckpt_every}",
+        "train_config.ctc_loss_start_iter=100",
+        "train_config.with_tensorboard=False",
+        "train_config.remat=True",
+        f"train_config.output_directory={wd}/outdir",
+    ])
+
+    print(f"backend={jax.default_backend()} "
+          f"devices={len(jax.devices())} iters={iters}", flush=True)
+
+    # untrained baseline checkpoint (the metrics' floor)
+    from flowtron_tpu.models import flowtron_init
+    from flowtron_tpu.train.checkpoints import save_checkpoint
+    from flowtron_tpu.train.radam import radam
+    mc = dict(config["model_config"])
+    p0, _ = flowtron_init(jax.random.PRNGKey(
+        int(config["train_config"]["seed"])), **mc)
+    init_ckpt = os.path.join(wd, "outdir", "model_init")
+    os.makedirs(os.path.join(wd, "outdir"), exist_ok=True)
+    save_checkpoint(init_ckpt, p0, radam(1e-3).init(p0), 0, 1e-3)
+
+    from flowtron_tpu.train.loop import train
+    t0 = time.perf_counter()
+    train(config)
+    t_train = time.perf_counter() - t0
+    print(f"training wall time: {t_train:.1f}s "
+          f"({t_train / iters * 1e3:.0f} ms/iter incl. compile)",
+          flush=True)
+
+    from flowtron_tpu.train.evaluate import evaluate
+    ckpts = [("init", init_ckpt)]
+    for it in range(ckpt_every, iters + 1, ckpt_every):
+        path = os.path.join(wd, "outdir", f"model_{it}")
+        if os.path.exists(path) or os.path.exists(path + ".pkl"):
+            ckpts.append((str(it), path))
+
+    keys = ("attn_diagonality", "attn_monotonicity", "gate_accuracy",
+            "total")
+    traj = []
+    for name, path in ckpts:
+        r = evaluate(config, path, invertibility_frames=0,
+                     plots_dir=(os.path.join(wd, f"plots_{name}")
+                                if name in ("init", str(iters)) else None))
+        row = {"iter": name}
+        row.update({k: round(float(r[k]), 4) for k in keys if k in r})
+        traj.append(row)
+        print("ALIGN_EVAL " + json.dumps(row), flush=True)
+
+    # no-prior eval of first + last: did the model internalize the
+    # alignment, or only ride the beta-binomial prior?
+    import copy
+    cfg_np = copy.deepcopy(dict(config))
+    cfg_np["data_config"]["use_attn_prior"] = False
+    noprior = {}
+    for name, path in (ckpts[0], ckpts[-1]):
+        r = evaluate(cfg_np, path, invertibility_frames=0)
+        noprior[name] = {k: round(float(r[k]), 4)
+                         for k in keys if k in r}
+        print(f"ALIGN_EVAL_NOPRIOR {name} " + json.dumps(noprior[name]),
+              flush=True)
+
+    summary = {
+        "iters": iters,
+        "train_wall_s": round(t_train, 1),
+        "trajectory": traj,
+        "noprior_first_last": noprior,
+    }
+    print("ALIGN_TPU_SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
