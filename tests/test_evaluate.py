@@ -160,8 +160,11 @@ class TestExportScript:
         (reference:inference.py:51-56)."""
         import json
         import importlib.util
+        import os
         spec = importlib.util.spec_from_file_location(
-            "export_torch", "scripts/export_torch.py")
+            "export_torch",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "export_torch.py"))
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
 

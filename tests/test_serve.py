@@ -3,6 +3,7 @@
 Exercises SynthesisEngine directly (no HTTP) on a tiny model + corpus.
 """
 
+import os
 import threading
 
 import numpy as np
@@ -1490,11 +1491,13 @@ class TestClientScript:
         t.start()
         try:
             url = f"http://127.0.0.1:{srv.server_address[1]}"
+            client = os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts", "tts_client.py")
             for extra, name in (([], "plain.wav"),
                                 (["--stream"], "stream.wav")):
                 out = tmp_path / name
                 r = subprocess.run(
-                    [sys.executable, "scripts/tts_client.py",
+                    [sys.executable, client,
                      "Hello client.", "--url", url, "-o", str(out),
                      "--seed", "9"] + extra,
                     capture_output=True, text=True, timeout=300)
@@ -1503,7 +1506,7 @@ class TestClientScript:
                 assert data[:4] == b"RIFF" and len(data) > 300
             # error path: empty text -> nonzero exit, message on stderr
             r = subprocess.run(
-                [sys.executable, "scripts/tts_client.py", "~~~",
+                [sys.executable, client, "~~~",
                  "--url", url, "-o", str(tmp_path / "x.wav")],
                 capture_output=True, text=True, timeout=120)
             assert r.returncode == 1 and "HTTP 400" in r.stderr
