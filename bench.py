@@ -296,18 +296,19 @@ def bench_mux(params, cfg, N=8, n_frames=400):
                          max_frames=n_frames, gate_threshold=1e6)
     for rep in range(2):             # rep 0 warms the compile cache
         t0 = time.perf_counter()
-        open_ts = []
+        open_ts, last_open = [], t0
         for i in range(N):
             ts = time.perf_counter()
             mux.open(jax.random.PRNGKey(300 + i), 0, texts[i])
             open_ts.append(time.perf_counter() - ts)
+            last_open = ts
         ticks, ttfa = [], None
         while mux.active:
             tt = time.perf_counter()
             evs = mux.step()
             ticks.append(time.perf_counter() - tt)
             if ttfa is None and any(a.size for _, a, _ in evs):
-                ttfa = time.perf_counter() - t0
+                ttfa = time.perf_counter()
         wall = time.perf_counter() - t0
     audio_s = n_frames * 256 / 22050.0
     cad = sorted(ticks[1:-1]) if len(ticks) > 2 else sorted(ticks)
@@ -316,7 +317,11 @@ def bench_mux(params, cfg, N=8, n_frames=400):
             "agg_rtf": round(wall / (N * audio_s), 4),
             "tick_p50_ms": round(cad[len(cad) // 2] * 1e3, 1),
             "open_ms": round(1e3 * sum(open_ts) / len(open_ts), 1),
-            "ttfa_ms": round(ttfa * 1e3, 1)}
+            # a joining stream's marginal TTFA: its own open + the tick
+            # that delivers its first chunk (the server's stepper ticks
+            # between joins, so only the rush metric pays all N opens)
+            "ttfa_ms": round((ttfa - last_open) * 1e3, 1),
+            "ttfa_rush_all_ms": round((ttfa - t0) * 1e3, 1)}
 
 
 def bench_serving():

@@ -7,6 +7,10 @@ micro-batching and the HTTP-layer frontend work (text cleaning) but not
 network. The dev tunnel adds ~27 ms per device dispatch.
 
 Usage: python scripts/bench_serve.py [n_requests] [concurrency]
+  env SERVE_MAX_BATCH / SERVE_QUANTIZE / SERVE_DENOISE tweak the engine;
+  SERVE_STREAM=pool:N | mux:N load-tests engine.stream() instead of
+  submit() (N warm streamer pairs vs one N-slot batched multiplexer)
+  and reports streams/s + TTFA percentiles.
 
 `build_flagship_engine` / `run_load` are imported by the repo-root
 bench.py so the driver's BENCH artifact records serving throughput with
@@ -134,6 +138,74 @@ def run_load(engine, n_requests, concurrency, texts=TEXTS,
     }
 
 
+def run_stream_load(engine, n_requests, concurrency, texts=TEXTS):
+    """Streaming load pass: each worker opens engine.stream() and
+    drains it, timing TTFA (first PCM chunk) and total stream wall.
+    Overload (429) is retried — a fixed-slot streamer (pool or mux)
+    under full load is EXPECTED to push back; retries measure the
+    end-user experience of that."""
+    from flowtron_tpu.serve import EngineOverloaded
+    lat, errors = [], []
+    lock = threading.Lock()
+    it = iter(range(n_requests))
+
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            try:
+                t0 = time.perf_counter()
+                while True:
+                    try:
+                        gen = engine.stream(texts[i % len(texts)], 0,
+                                            seed=i)
+                        break
+                    except EngineOverloaded:
+                        time.sleep(0.05)
+                ttfa, n_samples = None, 0
+                for chunk in gen:
+                    if ttfa is None and len(chunk):
+                        ttfa = time.perf_counter() - t0
+                    n_samples += len(chunk)
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append((ttfa if ttfa is not None else dt, dt,
+                                n_samples / 22050.0))
+            except Exception as e:   # surface, don't silently die
+                with lock:
+                    errors.append(repr(e))
+                return
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"{len(errors)} stream workers failed: "
+                           f"{errors[:3]}")
+
+    ttfas = sorted(f for f, _, _ in lat)
+    audio_s = sum(a for _, _, a in lat)
+    return {
+        "streams_per_s": round(n_requests / wall, 2),
+        "x_realtime": round(audio_s / wall, 1),
+        "ttfa_p50_ms": round(ttfas[len(ttfas) // 2] * 1e3),
+        "ttfa_p99_ms": round(
+            ttfas[min(len(ttfas) - 1, int(len(ttfas) * 0.99))] * 1e3),
+        "stream_wall_p50_ms": round(
+            sorted(d for _, d, _ in lat)[len(lat) // 2] * 1e3),
+        "wall_s": round(wall, 1),
+        "audio_s": round(audio_s, 1),
+        "n_requests": n_requests,
+        "concurrency": concurrency,
+    }
+
+
 def main():
     import jax
     jax.config.update(
@@ -146,6 +218,28 @@ def main():
     max_batch = int(os.environ.get("SERVE_MAX_BATCH", "8"))
     quantize = os.environ.get("SERVE_QUANTIZE", "")
     denoise = float(os.environ.get("SERVE_DENOISE", "0"))
+    stream = os.environ.get("SERVE_STREAM", "")   # "pool:4" | "mux:8"
+
+    if stream:
+        kind, _, n = stream.partition(":")
+        n = int(n or 4)
+        kw = ({"stream_mux": n} if kind == "mux"
+              else {"stream_workers": n})
+        engine = build_flagship_engine(max_batch=max_batch,
+                                       quantize=quantize,
+                                       denoise=denoise, **kw)
+        for label in ("cold(compiles)", "warm"):
+            r = run_stream_load(engine, n_requests, concurrency)
+            print(f"[{label}] STREAM {kind} n={n}: "
+                  f"{r['streams_per_s']} streams/s, "
+                  f"{r['x_realtime']}x realtime aggregate, "
+                  f"TTFA p50 {r['ttfa_p50_ms']} / p99 "
+                  f"{r['ttfa_p99_ms']} ms, stream wall p50 "
+                  f"{r['stream_wall_p50_ms']} ms "
+                  f"({r['audio_s']}s audio in {r['wall_s']}s)",
+                  flush=True)
+        engine.shutdown()
+        return
 
     engine = build_flagship_engine(max_batch=max_batch, quantize=quantize,
                                    denoise=denoise)

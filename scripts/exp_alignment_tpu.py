@@ -15,7 +15,10 @@ is additionally evaluated WITHOUT the attention prior: a model that
 merely rides the prior scores low there, one that internalized the
 alignment stays high.
 
-Usage: python scripts/exp_alignment_tpu.py [workdir] [iters]
+Usage: python scripts/exp_alignment_tpu.py [workdir] [iters] [-p a.b=c ...]
+(extra -p overrides are applied last — e.g. -p data_config.use_attn_prior=False
+-p train_config.ctc_loss_weight=0.1 trains without the prior scaffold,
+leaving the CTC attention supervision as the only alignment pressure)
 """
 
 import json
@@ -28,8 +31,14 @@ import numpy as np
 
 
 def main():
-    wd = sys.argv[1] if len(sys.argv) > 1 else "/tmp/align_tpu"
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    extra = []
+    rest = sys.argv[1:]
+    while "-p" in rest:
+        i = rest.index("-p")
+        extra.append(rest[i + 1])
+        del rest[i:i + 2]
+    wd = rest[0] if rest else "/tmp/align_tpu"
+    iters = int(rest[1]) if len(rest) > 1 else 1500
     os.makedirs(wd, exist_ok=True)
 
     import jax
@@ -45,7 +54,7 @@ def main():
     batch_size = 8
     n_train = 64
     iters_per_epoch = n_train // batch_size
-    ckpt_every = 250
+    ckpt_every = max(250, iters // 6)
     cfg_path = os.path.join(os.path.dirname(__file__), "..",
                             "config.json")
     config = load_config(cfg_path, [
@@ -61,7 +70,7 @@ def main():
         "train_config.with_tensorboard=False",
         "train_config.remat=True",
         f"train_config.output_directory={wd}/outdir",
-    ])
+    ] + extra)
 
     print(f"backend={jax.default_backend()} "
           f"devices={len(jax.devices())} iters={iters}", flush=True)
@@ -94,34 +103,29 @@ def main():
 
     keys = ("attn_diagonality", "attn_monotonicity", "gate_accuracy",
             "total")
+    # the no-prior eval is the one that matters: did the model
+    # INTERNALIZE the alignment, or only ride the beta-binomial prior
+    # scaffold? Run both per checkpoint.
+    import copy
+    cfg_np = copy.deepcopy(dict(config))
+    cfg_np["data_config"]["use_attn_prior"] = False
     traj = []
     for name, path in ckpts:
         r = evaluate(config, path, invertibility_frames=0,
                      plots_dir=(os.path.join(wd, f"plots_{name}")
                                 if name in ("init", str(iters)) else None))
+        rn = evaluate(cfg_np, path, invertibility_frames=0)
         row = {"iter": name}
         row.update({k: round(float(r[k]), 4) for k in keys if k in r})
+        row.update({"noprior_" + k: round(float(rn[k]), 4)
+                    for k in keys if k in rn})
         traj.append(row)
         print("ALIGN_EVAL " + json.dumps(row), flush=True)
-
-    # no-prior eval of first + last: did the model internalize the
-    # alignment, or only ride the beta-binomial prior?
-    import copy
-    cfg_np = copy.deepcopy(dict(config))
-    cfg_np["data_config"]["use_attn_prior"] = False
-    noprior = {}
-    for name, path in (ckpts[0], ckpts[-1]):
-        r = evaluate(cfg_np, path, invertibility_frames=0)
-        noprior[name] = {k: round(float(r[k]), 4)
-                         for k in keys if k in r}
-        print(f"ALIGN_EVAL_NOPRIOR {name} " + json.dumps(noprior[name]),
-              flush=True)
 
     summary = {
         "iters": iters,
         "train_wall_s": round(t_train, 1),
         "trajectory": traj,
-        "noprior_first_last": noprior,
     }
     print("ALIGN_TPU_SUMMARY " + json.dumps(summary), flush=True)
 
