@@ -1690,3 +1690,25 @@ class TestMuxServing:
                 assert len(results[i]) > 1000
         finally:
             srv.shutdown()
+
+
+class TestStreamLoadHarness:
+    def test_run_stream_load_reports_and_retries(self, mux_engine):
+        """scripts/bench_serve.run_stream_load drives engine.stream()
+        under more concurrency than the mux has slots: overloads retry
+        (not fail), every stream completes, TTFA/throughput fields come
+        back sane."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench_serve",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "bench_serve.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        r = mod.run_stream_load(
+            mux_engine, 5, 3,
+            texts=["load one.", "load two.", "load three."])
+        assert r["n_requests"] == 5 and r["concurrency"] == 3
+        assert r["streams_per_s"] > 0
+        assert 0 < r["ttfa_p50_ms"] <= r["ttfa_p99_ms"]
+        assert r["audio_s"] > 0
