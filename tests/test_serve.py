@@ -1712,3 +1712,28 @@ class TestStreamLoadHarness:
         assert r["streams_per_s"] > 0
         assert 0 < r["ttfa_p50_ms"] <= r["ttfa_p99_ms"]
         assert r["audio_s"] > 0
+
+    def test_mux_stream_denoise_applies_and_overrides(self,
+                                                      stream_engine):
+        """-d denoise on a --stream-mux engine: the StreamingDenoiser
+        runs per muxed stream, per-request override works, and the
+        audio length never changes."""
+        from flowtron_tpu.serve import SynthesisEngine
+        eng = SynthesisEngine(stream_engine.config,
+                              stream_engine._ckpt_path,
+                              waveglow_path=stream_engine._waveglow_path,
+                              max_batch=2, batch_timeout_ms=20,
+                              text_buckets=(16, 32), n_frames=48,
+                              stream_mux=2, denoise=0.05)
+        try:
+            def run(**kw):
+                return np.concatenate(list(
+                    eng.stream("Mux denoise.", 0, seed=33, **kw)))
+            base = run(denoise=0.0)
+            dn = run()                 # engine default 0.05
+            dn2 = run(denoise=0.5)
+            assert base.size == dn.size == dn2.size
+            assert not np.array_equal(base, dn)
+            assert not np.array_equal(dn, dn2)
+        finally:
+            eng.shutdown()
