@@ -39,6 +39,12 @@ DEFAULT_CONFIG = {
         # directory-based per-shard checkpoint format (sharded_ckpt.py)
         # instead of the single-file pickle
         "sharded_checkpoints": False,
+        # "" = pickle (or sharded when sharded_checkpoints is set);
+        # explicit "pickle" | "sharded" | "orbax" overrides
+        "checkpoint_format": "",
+        # scan-level rematerialization: 3x lower peak memory, enables
+        # batch_size >= 32 at flagship dims (see ROADMAP measurements)
+        "remat": False,
     },
     "data_config": {
         "training_files": "filelists/train.txt",
@@ -61,11 +67,24 @@ DEFAULT_CONFIG = {
         "keep_ambiguous": False,
         "mel_cache_path": "",
         "use_native": False,
+        # grain-backed loader (multi-host input sharding); filtered out
+        # of Data.__init__ by data_kwargs' _NON_DATA_KEYS
+        "use_grain": False,
+        "grain_workers": 0,
     },
     "dist_config": {
         # TPU-native: data-parallel mesh axes instead of NCCL rendezvous.
         "mesh_shape": [-1],          # -1 = all available devices on 'data'
         "mesh_axis_names": ["data"],
+        # multi-process (multi-host) init: multiprocess=True auto-detects
+        # (TPU pods); an explicit coordinator_address + num_processes +
+        # process_id overrides (parallel/mesh.py)
+        "multiprocess": False,
+        "coordinator_address": "",
+        "num_processes": None,
+        "process_id": None,
+        # per-axis process counts for multi-slice DCN hybrid meshes
+        "dcn_mesh_shape": None,
     },
     "model_config": {
         "n_speakers": 1,

@@ -113,7 +113,8 @@ def main():
     for name, path in ckpts:
         r = evaluate(config, path, invertibility_frames=0,
                      plots_dir=(os.path.join(wd, f"plots_{name}")
-                                if name in ("init", str(iters)) else None))
+                                if (name, path) in (ckpts[0], ckpts[-1])
+                                else None))
         rn = evaluate(cfg_np, path, invertibility_frames=0)
         row = {"iter": name}
         row.update({k: round(float(r[k]), 4) for k in keys if k in r})

@@ -55,3 +55,43 @@ class TestPackageAPI:
         assert set(flowtron_tpu._EXPORTS) < set(dir(flowtron_tpu))
         with pytest.raises(AttributeError):
             flowtron_tpu.does_not_exist
+
+
+def test_extension_keys_are_overridable():
+    """Keys the code consumes beyond the reference's schema (remat,
+    checkpoint_format, use_grain, grain_workers) must exist in
+    DEFAULT_CONFIG — update_params drops unknown keys (reference
+    semantics), so a missing default makes `-p a.b=c` a silent no-op."""
+    cfg = load_config(overrides=[
+        "train_config.remat=True",
+        "train_config.checkpoint_format=orbax",
+        "data_config.use_grain=True",
+        "data_config.grain_workers=2",
+    ])
+    assert cfg["train_config"]["remat"] is True
+    assert cfg["train_config"]["checkpoint_format"] == "orbax"
+    assert cfg["data_config"]["use_grain"] is True
+    assert cfg["data_config"]["grain_workers"] == 2
+
+
+def test_every_consumed_config_key_has_a_default():
+    """Source audit: every `<section>.get("key")` / `<section>["key"]`
+    access in the package resolves to a DEFAULT_CONFIG key, so every
+    consumed knob is reachable through `-p section.key=value`."""
+    import os
+    import re
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(
+        r'\b(train_config|data_config|model_config|dist_config)'
+        r'(?:\.get\(\s*|\[)"([a-z_0-9]+)"')
+    consumed = set()
+    for dirpath, _, files in os.walk(os.path.join(pkg, "flowtron_tpu")):
+        for fn in files:
+            if fn.endswith(".py"):
+                src = open(os.path.join(dirpath, fn),
+                           encoding="utf-8").read()
+                consumed |= {m.groups() for m in pat.finditer(src)}
+    missing = sorted(
+        f"{sec}.{key}" for sec, key in consumed
+        if key not in DEFAULT_CONFIG[sec])
+    assert not missing, missing

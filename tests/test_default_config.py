@@ -35,9 +35,8 @@ def _abs_data_config(cfg):
 def default_data():
     cfg = load_config(os.path.join(REPO, "config.json"))
     dc = _abs_data_config(cfg)
-    kwargs = {k: v for k, v in dc.items()
-              if k not in ("training_files", "validation_files")}
-    return Data(dc["validation_files"], **kwargs)
+    from flowtron_tpu.data.dataset import data_kwargs
+    return Data(dc["validation_files"], **data_kwargs(dc))
 
 
 def test_assets_vendored():
@@ -78,8 +77,8 @@ def test_full_arpabet_and_heteronym_skip():
     cfg = load_config(os.path.join(REPO, "config.json"))
     update_params(cfg, ["data_config.p_arpabet=1.0"])
     dc = _abs_data_config(cfg)
-    kwargs = {k: v for k, v in dc.items()
-              if k not in ("training_files", "validation_files")}
+    from flowtron_tpu.data.dataset import data_kwargs
+    kwargs = data_kwargs(dc)
     kwargs["prior_cache_path"] = ""  # don't create cache dirs in a test
     d = Data(dc["validation_files"], **kwargs)
     text = sequence_to_text(d.get_text("I read the book now.").tolist())

@@ -54,8 +54,8 @@ def test_data_frontend_from_config(rel):
     for key in ("cmudict_path", "heteronyms_path"):
         if dc.get(key):
             dc[key] = os.path.join(REPO, dc[key])
-    kwargs = {k: v for k, v in dc.items()
-              if k not in ("training_files", "validation_files")}
+    from flowtron_tpu.data.dataset import data_kwargs
+    kwargs = data_kwargs(dc)
     kwargs["prior_cache_path"] = ""
     d = Data(val, **kwargs)
     assert len(d) > 0
