@@ -53,8 +53,10 @@ class FlowtronLogger:
         if SummaryWriter is None:
             raise RuntimeError("tensorboardX is not available")
         self.writer = SummaryWriter(logdir)
+        self._scalar_tags = set()   # tags written so far (introspection)
 
     def add_scalar(self, tag, value, step):
+        self._scalar_tags.add(tag)
         self.writer.add_scalar(tag, value, step)
 
     def log_training(self, loss, gate_loss, nll_loss, ctc_loss,
@@ -75,6 +77,26 @@ class FlowtronLogger:
             return
         attn = np.asarray(last_outputs.get("attn"))
         gate_pred = last_outputs.get("gate_pred")
+        vbatch = last_outputs.get("batch") or {}
+        if (attn is not None and attn.ndim == 3
+                and vbatch.get("out_lens") is not None):
+            # the reference's visual "attention looks diagonal" health
+            # check (reference:README.md:37-40) as live scalars — the
+            # same metrics flowtron-evaluate reports (train/evaluate.py)
+            from flowtron_tpu.train.evaluate import (
+                attention_diagonality, attention_monotonicity,
+                gate_accuracy)
+            o, i = vbatch["out_lens"], vbatch["in_lens"]
+            self.add_scalar("validation/attn_diagonality",
+                            attention_diagonality(attn, o, i), iteration)
+            self.add_scalar("validation/attn_monotonicity",
+                            attention_monotonicity(attn, o, i), iteration)
+            if (gate_pred is not None
+                    and vbatch.get("gate_target") is not None):
+                self.add_scalar(
+                    "validation/gate_accuracy",
+                    gate_accuracy(gate_pred, vbatch["gate_target"], o),
+                    iteration)
         if attn is not None and attn.ndim == 3:
             idx = np.random.randint(attn.shape[0])
             self.writer.add_image(

@@ -33,9 +33,19 @@ class TestLogger:
             "attn": np.random.default_rng(0).uniform(size=(2, 10, 6)),
             "gate_pred": np.random.default_rng(1)
             .standard_normal((10, 2, 1)),
+            "batch": {
+                "out_lens": np.array([10, 8]),
+                "in_lens": np.array([6, 5]),
+                "gate_target": np.zeros((2, 10), np.float32),
+            },
         }
         logger.log_validation(1.4, 1.1, 0.1, 0.2, last, iteration=3)
         logger.writer.flush()
+        # quality-proxy scalars landed next to the losses
+        scalars = set(logger._scalar_tags)
+        assert {"validation/attn_diagonality",
+                "validation/attn_monotonicity",
+                "validation/gate_accuracy"} <= scalars
         files = os.listdir(logdir)
         assert any("tfevents" in f for f in files)
         # event file is non-trivial (contains the image summaries)
