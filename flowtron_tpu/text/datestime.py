@@ -15,9 +15,14 @@ def _expand_ampm(m):
     if matches[1] not in (0, "0", "00"):
         txt += " " + matches[1]
 
-    if matches[2][0].lower() == "a":
+    # case-sensitive on purpose: the reference compares the raw char
+    # (reference:text/datestime.py:13-16), so an UPPERCASE meridiem
+    # ("10:30 AM") is matched by the regex but its AM/PM is dropped
+    # from the output — and flowtron_cleaners never lowercases first,
+    # so this path is reachable (pinned by test_reference_text_parity).
+    if matches[2][0] == "a":
         txt += " AM"
-    elif matches[2][0].lower() == "p":
+    elif matches[2][0] == "p":
         txt += " PM"
 
     return txt
