@@ -315,6 +315,82 @@ class TestReferenceCodeParityCummAttention:
         _compare_forward(out_ours, out_ref, out_lens, 2, atol=1e-5)
 
 
+class TestReferenceCodeParityGradients:
+    """(d) training-step gradients: d(nll + gate + 0.5*ctc)/d(params)
+    computed by torch autograd through the reference's ACTUAL model +
+    FlowtronLoss vs jax.grad of ours, compared parameter-by-parameter
+    through the bridge's name map. Forward parity alone cannot catch a
+    backward-only divergence (e.g. a stop_gradient where the reference
+    backpropagates, or CTC zero_infinity grad handling); this pins the
+    actual quantities the reference trains with
+    (reference:flowtron.py:185-275,870-899 + torch autograd)."""
+
+    def test_gradients(self, ref, monkeypatch):
+        # The reference's Encoder mutates its activation in place
+        # (x.masked_fill_, reference:flowtron.py:501) and eval-mode
+        # F.dropout returns its input UNCLONED, so backward through the
+        # reference in eval mode trips torch's in-place check (in train
+        # mode dropout copies, which is why the reference trains fine).
+        # Shim dropout to clone its identity output — numerically a
+        # no-op, restores a legal autograd graph. Dropout stays OFF on
+        # both sides: deterministic gradients.
+        orig_dropout = torch.nn.functional.dropout
+
+        def dropout_clone(x, p=0.5, training=False, inplace=False):
+            out = orig_dropout(x, p, training, inplace)
+            return out.clone() if out is x else out
+
+        monkeypatch.setattr(torch.nn.functional, "dropout", dropout_clone)
+
+        params, config, model = _build(ref, SMALL, n_flows=2, seed=3)
+        M = SMALL["n_mel_channels"]
+        mel, text, sids, in_lens, out_lens, prior = _forward_inputs(
+            M, seed=16)
+        gt = _gate_target(out_lens, mel.shape[2])
+
+        def total(p):
+            out = flowtron_forward(
+                p, config, jnp.asarray(mel), jnp.asarray(sids),
+                jnp.asarray(text), jnp.asarray(in_lens),
+                jnp.asarray(out_lens), attn_prior=jnp.asarray(prior))
+            nll, gate, ctc = flowtron_loss(
+                out, jnp.asarray(gt), jnp.asarray(in_lens),
+                jnp.asarray(out_lens), sigma=1.0, gate_loss=True,
+                use_ctc_loss=True, blank_logprob=-8.0)
+            return nll + gate + 0.5 * ctc
+
+        grads = jax.jit(jax.grad(total))(params)
+        grads_named = export_torch_state_dict(grads)
+
+        crit = ref.FlowtronLoss(sigma=1.0, gm_loss=False, gate_loss=True,
+                                use_ctc_loss=True, blank_logprob=-8)
+        model.zero_grad()
+        out_ref = model(torch.from_numpy(mel.copy()),
+                        torch.from_numpy(sids), torch.from_numpy(text),
+                        torch.from_numpy(in_lens),
+                        torch.from_numpy(out_lens),
+                        torch.from_numpy(prior.copy()))
+        ref_for_loss = out_ref[:4] + (
+            [a.clone() for a in out_ref[4]],) + out_ref[5:]
+        nll_r, gate_r, ctc_r = crit(ref_for_loss, torch.from_numpy(gt),
+                                    torch.from_numpy(in_lens),
+                                    torch.from_numpy(out_lens))
+        (nll_r + gate_r + 0.5 * ctc_r).backward()
+
+        checked = 0
+        for name, p in model.named_parameters():
+            assert name in grads_named, name
+            g_ref = p.grad
+            assert g_ref is not None, f"reference grad missing for {name}"
+            g_ours = np.asarray(grads_named[name])
+            scale = max(1.0, float(np.abs(g_ref.numpy()).max()))
+            np.testing.assert_allclose(
+                g_ours, g_ref.numpy(), atol=2e-5 * scale,
+                err_msg=f"grad mismatch: {name}")
+            checked += 1
+        assert checked > 50  # every flow/encoder/embedding/gate tensor
+
+
 FLAGSHIP = dict(n_speakers=3, n_speaker_dim=128, n_text=185,
                 n_text_dim=512, n_mel_channels=80, n_hidden=1024,
                 n_attn_channels=640, n_lstm_layers=2,
