@@ -377,6 +377,11 @@ class TestReferenceCodeParityGradients:
                                     torch.from_numpy(out_lens))
         (nll_r + gate_r + 0.5 * ctc_r).backward()
 
+        checked = self._compare_named_grads(model, grads_named)
+        assert checked > 50  # every flow/encoder/embedding/gate tensor
+
+    @staticmethod
+    def _compare_named_grads(model, grads_named):
         checked = 0
         for name, p in model.named_parameters():
             assert name in grads_named, name
@@ -388,7 +393,54 @@ class TestReferenceCodeParityGradients:
                 g_ours, g_ref.numpy(), atol=2e-5 * scale,
                 err_msg=f"grad mismatch: {name}")
             checked += 1
-        assert checked > 50  # every flow/encoder/embedding/gate tensor
+        return checked
+
+    def test_gradients_gm_learnable(self, ref, monkeypatch):
+        """Gaussian-mixture config with fixed_gaussian=False: pins the
+        MelEncoder, prob/mean/log_var layer, and GM log-sum-exp NLL
+        gradients (reference:flowtron.py:217-231,312-450) that the
+        2-flow test never touches."""
+        orig_dropout = torch.nn.functional.dropout
+
+        def dropout_clone(x, p=0.5, training=False, inplace=False):
+            out = orig_dropout(x, p, training, inplace)
+            return out.clone() if out is x else out
+
+        monkeypatch.setattr(torch.nn.functional, "dropout", dropout_clone)
+
+        dims = dict(SMALL, n_mel_channels=80)  # MelEncoder hard-codes 80
+        params, config, model = _build(ref, dims, n_flows=2, seed=7,
+                                       n_components=3,
+                                       fixed_gaussian=False)
+        mel, text, sids, in_lens, out_lens, _ = _forward_inputs(
+            80, seed=17)
+        gt = _gate_target(out_lens, mel.shape[2])
+
+        def total(p):
+            out = flowtron_forward(
+                p, config, jnp.asarray(mel), jnp.asarray(sids),
+                jnp.asarray(text), jnp.asarray(in_lens),
+                jnp.asarray(out_lens))
+            nll, gate, _ = flowtron_loss(
+                out, jnp.asarray(gt), jnp.asarray(in_lens),
+                jnp.asarray(out_lens), sigma=1.0, gm_loss=True,
+                gate_loss=True)
+            return nll + gate
+
+        grads_named = export_torch_state_dict(
+            jax.jit(jax.grad(total))(params))
+
+        crit = ref.FlowtronLoss(sigma=1.0, gm_loss=True, gate_loss=True)
+        model.zero_grad()
+        out_ref = model(torch.from_numpy(mel.copy()),
+                        torch.from_numpy(sids), torch.from_numpy(text),
+                        torch.from_numpy(in_lens),
+                        torch.from_numpy(out_lens), None)
+        nll_r, gate_r, _ = crit(out_ref, torch.from_numpy(gt),
+                                torch.from_numpy(in_lens),
+                                torch.from_numpy(out_lens))
+        (nll_r + gate_r).backward()
+        assert self._compare_named_grads(model, grads_named) > 60
 
 
 FLAGSHIP = dict(n_speakers=3, n_speaker_dim=128, n_text=185,
