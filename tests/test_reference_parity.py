@@ -443,6 +443,41 @@ class TestReferenceCodeParityGradients:
         assert self._compare_named_grads(model, grads_named) > 60
 
 
+class TestReferenceInvertibilityCheckQuirk:
+    def test_reference_test_invertibility_is_broken(self, ref,
+                                                    monkeypatch):
+        """SURVEY §2.12 / PARITY 'quirks fixed': the reference's own
+        built-in invariant check ALWAYS raises — executed here to prove
+        the claim (with .cuda() on its in_lens shimmed to identity; on
+        GPU that line works and the same failures follow). 1-flow hits
+        the documented 7-from-8 unpack bug
+        (reference:flowtron.py:945-947 vs 899); 2-flow dies even
+        earlier because it passes out_lens=None into AR_Back_Step's
+        per-sample roll (reference:flowtron.py:611). Our working
+        equivalent is the invertibility oracle
+        (models/flowtron.py:flowtron_test_invertibility), pinned at
+        ~2e-6 flagship fp32 in test_model/test_parity_full_model."""
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self)
+        rng = np.random.default_rng(18)
+        residual = (rng.standard_normal((1, SMALL["n_mel_channels"], 8))
+                    * 0.5).astype(np.float32)
+        text = rng.integers(1, 185, (1, 5))
+
+        _, _, model1 = _build(ref, SMALL, n_flows=1, seed=8)
+        with torch.no_grad(), pytest.raises(ValueError, match="unpack"):
+            model1.test_invertibility(
+                torch.from_numpy(residual),
+                torch.from_numpy(np.array([0])), torch.from_numpy(text))
+
+        _, _, model2 = _build(ref, SMALL, n_flows=2, seed=8)
+        with torch.no_grad(), pytest.raises(TypeError,
+                                            match="subscriptable"):
+            model2.test_invertibility(
+                torch.from_numpy(residual),
+                torch.from_numpy(np.array([0])), torch.from_numpy(text))
+
+
 FLAGSHIP = dict(n_speakers=3, n_speaker_dim=128, n_text=185,
                 n_text_dim=512, n_mel_channels=80, n_hidden=1024,
                 n_attn_channels=640, n_lstm_layers=2,
