@@ -99,6 +99,11 @@ def evaluate_main(argv=None):
                         help="directory for attention.png/gate.png of a "
                              "validation batch (the reference's visual "
                              "health check, without TensorBoard)")
+    parser.add_argument("--tone-cer", type=int, default=0,
+                        help="synthesize this many validation transcripts "
+                             "and report the tone-CER intelligibility "
+                             "metric (coded-tone corpora only; 0 "
+                             "disables)")
     args = parser.parse_args(argv)
 
     _apply_platform_override()
@@ -106,7 +111,8 @@ def evaluate_main(argv=None):
     from flowtron_tpu.train.evaluate import evaluate
     result = evaluate(config, args.flowtron_path,
                       invertibility_frames=args.invertibility_frames,
-                      seed=args.seed, plots_dir=args.plots or None)
+                      seed=args.seed, plots_dir=args.plots or None,
+                      tone_cer_texts=args.tone_cer)
     print(json.dumps({k: round(v, 6) for k, v in result.items()}))
     return 0  # console_scripts sys.exit()s the return value
 

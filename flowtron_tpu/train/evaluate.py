@@ -119,11 +119,15 @@ def _save_plots(last, out_dir):
 
 
 def evaluate(config, checkpoint_path, invertibility_frames=100,
-             seed=1234, plots_dir=None):
+             seed=1234, plots_dir=None, tone_cer_texts=0):
     """Returns a dict: val loss decomposition (+ n_batches), and the
     invertibility round-trip error when invertibility_frames > 0.
     With plots_dir, writes attention.png + gate.png for the last
-    validation batch.
+    validation batch. With tone_cer_texts > 0, synthesizes that many
+    validation transcripts and reports the tone-CER intelligibility
+    metric (data/tone_cer.py) — content-level correctness on the
+    coded-tone corpus, the in-container analog of the reference's
+    listen-to-it check (reference:README.md:27-40).
 
     Accepts every checkpoint format the framework reads (pickle /
     sharded / orbax / reference-format torch state_dict).
@@ -170,6 +174,13 @@ def evaluate(config, checkpoint_path, invertibility_frames=100,
             result[k] = float(np.mean(v))
     if plots_dir and last is not None:
         _save_plots(last, plots_dir)
+
+    if tone_cer_texts and tone_cer_texts > 0:
+        from flowtron_tpu.data.tone_cer import tone_cer_report
+        report = tone_cer_report(config, params, static_cfg,
+                                 max_texts=int(tone_cer_texts), seed=seed)
+        result["tone_cer"] = report["tone_cer"]
+        result["tone_cer_mel"] = report["tone_cer_mel"]
 
     if invertibility_frames and invertibility_frames > 0:
         from flowtron_tpu.models.flowtron import (

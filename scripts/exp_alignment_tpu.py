@@ -102,7 +102,7 @@ def main():
             ckpts.append((str(it), path))
 
     keys = ("attn_diagonality", "attn_monotonicity", "gate_accuracy",
-            "total")
+            "total", "tone_cer", "tone_cer_mel")
     # the no-prior eval is the one that matters: did the model
     # INTERNALIZE the alignment, or only ride the beta-binomial prior
     # scaffold? Run both per checkpoint.
@@ -111,7 +111,11 @@ def main():
     cfg_np["data_config"]["use_attn_prior"] = False
     traj = []
     for name, path in ckpts:
+        # tone-CER on held-out validation transcripts: the content-level
+        # intelligibility check (synthesis must render the REQUESTED
+        # tones, not merely align) — see data/tone_cer.py
         r = evaluate(config, path, invertibility_frames=0,
+                     tone_cer_texts=8,
                      plots_dir=(os.path.join(wd, f"plots_{name}")
                                 if (name, path) in (ckpts[0], ckpts[-1])
                                 else None))
