@@ -197,7 +197,8 @@ def transcribe_model(params, static_cfg, config, entries, n_frames=640,
 
 
 def tone_cer_report(config, params, static_cfg, max_texts=8, seed=1234,
-                    via_audio=True, n_frames=640, filelist=None):
+                    via_audio=True, n_frames=640, filelist=None,
+                    sigma=0.5):
     """Mean tone-CER of the model over held-out corpus transcripts.
 
     Reads (text, speaker) pairs from ``filelist`` (default: the
@@ -211,11 +212,11 @@ def tone_cer_report(config, params, static_cfg, max_texts=8, seed=1234,
     path = filelist or data_config["validation_files"]
     entries = [(text, sid) for (_, text, sid)
                in load_filepaths_and_text(path)][:max_texts]
-    train_config = config.get("train_config", {})
+    # sigma defaults to the reference's inference operating point
+    # (reference:inference.py:104-108, -s 0.5), not the training sigma
     rows = transcribe_model(
         params, static_cfg, config, entries, n_frames=n_frames,
-        sigma=float(train_config.get("sigma", 0.5)), seed=seed,
-        via_audio=via_audio)
+        sigma=sigma, seed=seed, via_audio=via_audio)
     report = {
         "tone_cer_mel": float(np.mean([r["cer_mel"] for r in rows])),
         "rows": rows,

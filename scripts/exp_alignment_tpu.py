@@ -15,10 +15,12 @@ is additionally evaluated WITHOUT the attention prior: a model that
 merely rides the prior scores low there, one that internalized the
 alignment stays high.
 
-Usage: python scripts/exp_alignment_tpu.py [workdir] [iters] [-p a.b=c ...]
+Usage: python scripts/exp_alignment_tpu.py [workdir] [iters] [utts] [-p a.b=c ...]
 (extra -p overrides are applied last — e.g. -p data_config.use_attn_prior=False
 -p train_config.ctc_loss_weight=0.1 trains without the prior scaffold,
-leaving the CTC attention supervision as the only alignment pressure)
+leaving the CTC attention supervision as the only alignment pressure;
+`utts` sizes the corpus — the round-4 runs used 72 and overfit by 20k
+iters, so longer budgets want 256+)
 """
 
 import json
@@ -39,6 +41,7 @@ def main():
         del rest[i:i + 2]
     wd = rest[0] if rest else "/tmp/align_tpu"
     iters = int(rest[1]) if len(rest) > 1 else 1500
+    utts = int(rest[2]) if len(rest) > 2 else 72
     os.makedirs(wd, exist_ok=True)
 
     import jax
@@ -46,15 +49,16 @@ def main():
         os.path.dirname(__file__), "..", ".jax_cache"))
 
     from flowtron_tpu.data.synth import make_aligned_corpus
+    val_count = 8
     train_fl, val_fl = make_aligned_corpus(
-        os.path.join(wd, "corpus"), n_utterances=72, n_speakers=1,
-        val_count=8, seed=0)
+        os.path.join(wd, "corpus"), n_utterances=utts, n_speakers=1,
+        val_count=val_count, seed=0)
 
     from flowtron_tpu.config import load_config
     batch_size = 8
-    n_train = 64
+    n_train = (utts - val_count) // batch_size * batch_size
     iters_per_epoch = n_train // batch_size
-    ckpt_every = max(250, iters // 6)
+    ckpt_every = max(250, iters // 12)
     cfg_path = os.path.join(os.path.dirname(__file__), "..",
                             "config.json")
     config = load_config(cfg_path, [
