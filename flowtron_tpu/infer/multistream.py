@@ -66,6 +66,12 @@ class MuxFull(RuntimeError):
     """All slots busy — callers map this to 429/retry."""
 
 
+class MuxClosed(RuntimeError):
+    """The stream was closed while its open() was still committing:
+    the handle would never have produced step() events, so waiting on
+    it would hang — open() raises this instead of returning it."""
+
+
 class _Slot:
     __slots__ = ("handle", "key", "voc_key", "sigma", "c", "n_valid",
                  "fired", "mel_buf", "emitted", "done_mel",
@@ -369,8 +375,10 @@ class MultiStreamTTS:
             slot.n_valid = max(1, min(int(np.asarray(nv)[0]), cap))
 
         with self._lock:
-            if self._slots[b] is not slot:   # close() raced us
-                return handle
+            if self._slots[b] is not slot:   # close() raced us: the
+                # stream never joined and can never emit — a returned
+                # handle would leave the caller waiting forever
+                raise MuxClosed(f"stream {handle} closed during open()")
             if self._enc is None:
                 self._enc = jnp.zeros(
                     (self.Tk, self.slots, enc1.shape[2]), enc1.dtype)
