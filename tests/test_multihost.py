@@ -28,6 +28,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from scipy.io import wavfile
 
 RUNNER = os.path.join(os.path.dirname(__file__), "multihost_runner.py")

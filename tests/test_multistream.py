@@ -14,6 +14,8 @@ The reference has no streaming at all (reference:inference.py:40-132).
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

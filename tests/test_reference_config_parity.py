@@ -32,9 +32,9 @@ from tests.test_reference_data_parity import _fake_librosa, _fake_text
 REF_ROOT = "/root/reference"
 REF_TRAIN = os.path.join(REF_ROOT, "train.py")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_TRAIN),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 @pytest.fixture(scope="module")

@@ -36,6 +36,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 from flowtron_tpu.audio.mel import mel_filterbank

@@ -41,9 +41,9 @@ REF_ROOT = "/root/reference"
 REF_INFER = os.path.join(REF_ROOT, "inference.py")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_INFER),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 # the data pipeline (and the reference's hard-coded residual shape,
 # reference:inference.py:69) is fixed at 80 mel channels; everything

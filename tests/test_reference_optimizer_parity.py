@@ -23,9 +23,9 @@ from flowtron_tpu.train.radam import radam
 
 REF_PATH = "/root/reference/radam.py"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_PATH),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 @pytest.fixture(scope="module")

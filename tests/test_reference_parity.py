@@ -35,9 +35,9 @@ from flowtron_tpu.train.loss import flowtron_loss
 
 REF_PATH = "/root/reference/flowtron.py"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_PATH),
-    reason="reference checkout not available")
+    reason="reference checkout not available")]
 
 
 @pytest.fixture(scope="module")
