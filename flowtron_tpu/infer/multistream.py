@@ -75,7 +75,8 @@ class MuxClosed(RuntimeError):
 class _Slot:
     __slots__ = ("handle", "key", "voc_key", "sigma", "c", "n_valid",
                  "fired", "mel_buf", "emitted", "done_mel",
-                 "max_frames", "fresh", "pending_close", "joined")
+                 "max_frames", "fresh", "pending_close", "joined",
+                 "pending_join")
 
     def __init__(self, handle, key, voc_key, sigma, max_frames):
         self.handle = handle      # caller-facing unique stream id
@@ -92,6 +93,7 @@ class _Slot:
         self.fresh = True         # carry rows zeroed by the next tick
         self.pending_close = False
         self.joined = False       # device state committed
+        self.pending_join = None  # deferred-join payload (admission)
 
 
 class MultiStreamTTS:
@@ -116,7 +118,8 @@ class MultiStreamTTS:
     def __init__(self, params, config, wg_params, wg_config, slots=8,
                  chunk_frames=40, text_len=128, max_frames=2000,
                  gate_threshold=0.5, wg_sigma=0.8, context=24,
-                 lookahead=16, impl="nch", fused_prelude=False):
+                 lookahead=16, impl="nch", fused_prelude=False,
+                 max_joins_per_tick=None):
         self.params = params
         self.config = config
         self.wg_params = wg_params
@@ -129,6 +132,14 @@ class MultiStreamTTS:
         self.wg_sigma = float(wg_sigma)
         self.context = int(context)
         self.lookahead = int(lookahead)
+        # join admission: None commits each join synchronously inside
+        # open() (lowest solo-join TTFA); an int K defers the device-
+        # side join to step(), which commits at most K per tick in
+        # arrival order — under a rush of joins this keeps the tick
+        # cadence of ALREADY-running streams flat instead of stalling
+        # every stream behind a burst of encode/prelude dispatches
+        self.max_joins_per_tick = (None if max_joins_per_tick is None
+                                   else max(1, int(max_joins_per_tick)))
         self.n_flows = int(config["n_flows"])
         self.n_mel = int(config["n_mel_channels"])
         # 2-flow latents are stored chunk-aligned so the tick's
@@ -337,7 +348,10 @@ class MultiStreamTTS:
         text_ids: (n,) int ids, n <= text_len. Raises MuxFull when no
         slot is free. Device cost: one encode dispatch + one buffer-
         update dispatch (+ the prelude for multi-flow models, which
-        makes open() the TTFA-critical call there)."""
+        makes open() the TTFA-critical call there). With
+        max_joins_per_tick set, the device work is instead deferred to
+        step() (at most K joins committed per tick, arrival order);
+        open() then only reserves the slot and returns."""
         text_ids = np.asarray(text_ids)
         n = int(in_len) if in_len is not None else int(text_ids.shape[0])
         if n < 1:
@@ -361,24 +375,44 @@ class MultiStreamTTS:
 
         text_pad = np.zeros((1, self.Tk), np.int64)
         text_pad[0, :n] = text_ids[:n]
-        sid = jnp.asarray([int(speaker_id)], jnp.int32)
+        payload = (int(speaker_id), text_pad, n, float(temperature),
+                   float(sigma))
+        if self.max_joins_per_tick is not None:
+            # deferred: step() commits (admission-capped). pending_join
+            # is set under the same lock that reserved the slot, so the
+            # stepper can never observe a reserved-but-payloadless slot
+            with self._lock:
+                slot.pending_join = payload
+            return handle
+        if not self._device_join(b, slot, *payload):
+            # close() raced us: the stream never joined and can never
+            # emit — a returned handle would leave the caller waiting
+            # forever
+            raise MuxClosed(f"stream {handle} closed during open()")
+        return handle
+
+    def _device_join(self, b, slot, speaker_id, text_pad, n,
+                     temperature, sigma):
+        """Run the device-side join (encode [+ prelude] + ONE buffer-
+        commit dispatch) for a reserved slot. Returns False if the slot
+        was freed (raced close) before the commit could land."""
+        sid = jnp.asarray([speaker_id], jnp.int32)
         km1 = sequence_mask(jnp.asarray([n]), self.Tk)      # (1, Tk)
         enc1 = self._encode1(self.params, sid, jnp.asarray(text_pad),
                              km1)                           # (Tk, 1, D)
-        t_arr = jnp.asarray(float(temperature), jnp.float32)
-        sg_arr = jnp.asarray(float(sigma), jnp.float32)
+        t_arr = jnp.asarray(temperature, jnp.float32)
+        sg_arr = jnp.asarray(sigma, jnp.float32)
 
         z1 = None
         if self.n_flows > 1:
-            z1, nv = self._prelude1(self.params, k_mel, sg_arr, enc1,
-                                    km1, t_arr)
-            slot.n_valid = max(1, min(int(np.asarray(nv)[0]), cap))
+            z1, nv = self._prelude1(self.params, slot.key, sg_arr,
+                                    enc1, km1, t_arr)
+            slot.n_valid = max(1, min(int(np.asarray(nv)[0]),
+                                      slot.max_frames))
 
         with self._lock:
-            if self._slots[b] is not slot:   # close() raced us: the
-                # stream never joined and can never emit — a returned
-                # handle would leave the caller waiting forever
-                raise MuxClosed(f"stream {handle} closed during open()")
+            if self._slots[b] is not slot:
+                return False
             if self._enc is None:
                 self._enc = jnp.zeros(
                     (self.Tk, self.slots, enc1.shape[2]), enc1.dtype)
@@ -387,11 +421,12 @@ class MultiStreamTTS:
              self._keys) = self._join(
                 self._enc, self._key_mask, self._temp, self._sigma,
                 self._keys, enc1, km1, t_arr, sg_arr,
-                jnp.asarray(k_mel, jnp.uint32), b_arr)
+                jnp.asarray(slot.key, jnp.uint32), b_arr)
             if z1 is not None:
                 self._z1_buf = self._store_z1(self._z1_buf, z1, b_arr)
+            slot.pending_join = None
             slot.joined = True
-        return handle
+        return True
 
     def _find(self, handle):
         for s in self._slots:
@@ -454,6 +489,20 @@ class MultiStreamTTS:
         return [(handle, audio (n,) float32, done), ...]. A done
         stream's slot is freed before returning. Returns [] when
         nothing is active."""
+        if self.max_joins_per_tick is not None:
+            # admission: commit at most K deferred joins, oldest first,
+            # so a rush of open()s cannot stall the running streams'
+            # tick cadence behind a burst of encode/prelude dispatches
+            with self._lock:
+                pend = sorted(
+                    ((b, s) for b, s in enumerate(self._slots)
+                     if s is not None and not s.joined
+                     and not s.pending_close
+                     and s.pending_join is not None),
+                    key=lambda bs: bs[1].handle)
+                pend = pend[:self.max_joins_per_tick]
+            for b, s in pend:
+                self._device_join(b, s, *s.pending_join)
         with self._lock:
             for b, s in enumerate(self._slots):
                 if s is not None and s.pending_close:

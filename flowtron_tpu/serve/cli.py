@@ -29,6 +29,13 @@ def main(argv=None):
                              "N-slot multiplexer (one chunk dispatch "
                              "advances all concurrent streams) instead "
                              "of the per-stream worker pool")
+    parser.add_argument("--mux-joins-per-tick", type=int, default=0,
+                        help="K>0: staggered join admission for "
+                             "--stream-mux — at most K new streams "
+                             "commit their (encode+prelude) device work "
+                             "per tick, so a rush of joins cannot stall "
+                             "running streams' chunk cadence; 0 joins "
+                             "synchronously in the request thread")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
@@ -118,6 +125,7 @@ def main(argv=None):
             max_queue=args.max_queue,
             stream_workers=args.stream_workers,
             stream_mux=args.stream_mux,
+            mux_joins_per_tick=args.mux_joins_per_tick,
             replicas=n_replicas,
             vocode_buckets=[int(x) for x in
                             args.vocode_buckets.split(",")]

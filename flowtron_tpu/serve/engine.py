@@ -30,7 +30,8 @@ class SynthesisEngine(StreamPathMixin, DispatchMixin):
                  mesh_shape=None, bf16=False, max_queue=64,
                  stream_stall_timeout=30.0, stream_workers=2,
                  stream_acquire_timeout=5.0, replicas=1,
-                 vocode_buckets=None, denoise=0.0, stream_mux=0):
+                 vocode_buckets=None, denoise=0.0, stream_mux=0,
+                 mux_joins_per_tick=0):
         import jax
         import jax.numpy as jnp
         from flowtron_tpu.infer.sampling import load_model_for_inference
@@ -366,7 +367,10 @@ class SynthesisEngine(StreamPathMixin, DispatchMixin):
                 self.params, self.static_cfg, wg_params, wg_cfg,
                 slots=int(stream_mux), chunk_frames=40,
                 text_len=self.text_buckets[-1], max_frames=n_frames,
-                gate_threshold=0.5)
+                gate_threshold=0.5,
+                max_joins_per_tick=(int(mux_joins_per_tick)
+                                    if int(mux_joins_per_tick) > 0
+                                    else None))
             self._mux_wake = threading.Event()
             # the stepper thread starts at the end of __init__ (it
             # reads _closed, defined below)

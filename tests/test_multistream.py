@@ -313,6 +313,87 @@ class TestMux2Flow:
             assert np.abs(got[h_hot] - got[h_std]).max() > 0
 
 
+class TestJoinAdmission:
+    """Staggered join admission (max_joins_per_tick=K): a rush of
+    open()s must commit at most K device-side joins per tick, in
+    arrival order, without changing any stream's audio (join timing is
+    scheduling; each slot's output is a pure function of its key)."""
+
+    def test_rush_commits_k_per_tick_same_audio(self, model1, wg_small):
+        params, config = model1
+        wg_params, wg_cfg = wg_small
+        rng = np.random.default_rng(6)
+        thr = 0.55   # streams stay live across several ticks
+        streams = [
+            (jax.random.PRNGKey(10 + i), i % 2,
+             rng.integers(1, 185, (4 + 2 * i,)))
+            for i in range(3)
+        ]
+        mux = MultiStreamTTS(params, config, wg_params, wg_cfg,
+                             slots=4, text_len=12, max_frames=MAXF,
+                             gate_threshold=thr, max_joins_per_tick=1,
+                             **GEO)
+        handles = [mux.open(k, sid, ids) for k, sid, ids in streams]
+
+        def joined():
+            with mux._lock:
+                return sum(s is not None and s.joined
+                           for s in mux._slots)
+
+        # open() deferred everything: slots reserved, none committed
+        assert mux.active == 3 and joined() == 0
+        out = {h: [] for h in handles}
+        done = set()
+        expect = 0
+        for tick in range(64):
+            events = mux.step()
+            for h, audio, fin in events:
+                out[h].append(audio)
+                if fin:
+                    done.add(h)
+            if expect < 3:
+                expect += 1        # exactly one more join per tick
+                assert joined() + len(done) == expect, tick
+            if done >= set(handles):
+                break
+        assert done >= set(handles)
+
+        # admission changed scheduling only: audio == the solo runs
+        # (same oracle as test_matches_solo_streams_ragged_gates)
+        for h, (k, sid, ids) in zip(handles, streams):
+            want, _ = solo_audio(params, config, wg_small, k, sid,
+                                 ids, 12, thr)
+            got = np.concatenate(out[h]) if out[h] else \
+                np.zeros((0,), np.float32)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_close_before_commit_frees_slot(self, model1, wg_small):
+        params, config = model1
+        wg_params, wg_cfg = wg_small
+        rng = np.random.default_rng(7)
+        mux = MultiStreamTTS(params, config, wg_params, wg_cfg,
+                             slots=2, text_len=12, max_frames=MAXF,
+                             gate_threshold=0.55,
+                             max_joins_per_tick=1, **GEO)
+        hA = mux.open(jax.random.PRNGKey(1), 0,
+                      rng.integers(1, 185, (5,)))
+        hB = mux.open(jax.random.PRNGKey(2), 1,
+                      rng.integers(1, 185, (6,)))
+        mux.close(hB)              # before its join ever committed
+        seen = set()
+        for _ in range(3):
+            for h, _a, _d in mux.step():
+                seen.add(h)
+        assert hB not in seen      # never emitted
+        assert hA in seen          # A committed and runs
+        assert mux.active == 1     # B's slot was freed, not leaked
+        hC = mux.open(jax.random.PRNGKey(3), 0,
+                      rng.integers(1, 185, (4,)))
+        mux.step()
+        assert mux.active == 2     # freed slot is reusable
+
+
 class TestMuxBf16:
     def test_bf16_mux_matches_bf16_solo(self, model1, wg_small):
         """The serving engines run bf16: the mux must keep the compute
