@@ -23,6 +23,7 @@ leaving the CTC attention supervision as the only alignment pressure;
 iters, so longer budgets want 256+)
 """
 
+import glob
 import json
 import math
 import os
@@ -100,10 +101,14 @@ def main():
 
     from flowtron_tpu.train.evaluate import evaluate
     ckpts = [("init", init_ckpt)]
-    for it in range(ckpt_every, iters + 1, ckpt_every):
-        path = os.path.join(wd, "outdir", f"model_{it}")
-        if os.path.exists(path) or os.path.exists(path + ".pkl"):
-            ckpts.append((str(it), path))
+    found = {}
+    for path in glob.glob(os.path.join(wd, "outdir", "model_*")):
+        stem = os.path.basename(path)[len("model_"):]
+        stem = stem[:-4] if stem.endswith(".pkl") else stem
+        if stem.isdigit():
+            found[int(stem)] = os.path.join(wd, "outdir",
+                                            f"model_{stem}")
+    ckpts += [(str(it), p) for it, p in sorted(found.items())]
 
     keys = ("attn_diagonality", "attn_monotonicity", "gate_accuracy",
             "total", "tone_cer", "tone_cer_mel")
@@ -123,7 +128,10 @@ def main():
                      plots_dir=(os.path.join(wd, f"plots_{name}")
                                 if (name, path) in (ckpts[0], ckpts[-1])
                                 else None))
-        rn = evaluate(cfg_np, path, invertibility_frames=0)
+        # when the run itself trains without the prior, the no-prior
+        # eval IS the eval — don't pay it twice
+        rn = r if not config["data_config"].get("use_attn_prior") \
+            else evaluate(cfg_np, path, invertibility_frames=0)
         row = {"iter": name}
         row.update({k: round(float(r[k]), 4) for k in keys if k in r})
         row.update({"noprior_" + k: round(float(rn[k]), 4)
