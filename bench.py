@@ -382,12 +382,12 @@ def bench_training(params, cfg, B=128, T=768, Tk=128):
     p = jax.tree.map(jnp.copy, params)
     o = jax.jit(optimizer.init)(p)
     o = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, o)
-    p, o, m = step(p, o, batch, key, 0.01)  # compile + warm
+    p, o, m = step(p, o, batch, key, 0.01, 1.0)  # compile + warm
     float(m["loss"])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        p, o, m = step(p, o, batch, key, 0.01)
+        p, o, m = step(p, o, batch, key, 0.01, 1.0)
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     dt = min(times)

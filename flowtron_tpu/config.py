@@ -35,6 +35,12 @@ DEFAULT_CONFIG = {
         "ctc_loss_weight": 0.01,
         "blank_logprob": -8,
         "ctc_loss_start_iter": 10000,
+        # attention-prior anneal: linearly ramp the beta-binomial prior's
+        # log-term strength 1 -> 0 between start_iter and end_iter, so the
+        # model must internalize the alignment the scaffold was carrying.
+        # end_iter=0 disables (constant full prior, reference behavior).
+        "prior_anneal_start_iter": 0,
+        "prior_anneal_end_iter": 0,
         "profile_dir": "",
         # directory-based per-shard checkpoint format (sharded_ckpt.py)
         # instead of the single-file pickle

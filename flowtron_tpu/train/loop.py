@@ -31,6 +31,17 @@ from flowtron_tpu.parallel.mesh import (
 )
 
 
+def prior_strength_schedule(iteration, start_iter, end_iter):
+    """Attention-prior anneal: full scaffold (1.0) before start_iter,
+    linear ramp to 0.0 at end_iter, prior-free after. end_iter=0
+    disables the schedule (constant full prior, reference behavior)."""
+    if end_iter <= 0 or iteration <= start_iter:
+        return 1.0
+    if iteration >= end_iter:
+        return 0.0
+    return 1.0 - (iteration - start_iter) / float(end_iter - start_iter)
+
+
 def make_train_step(model_config_static, mesh, optimizer, train_config):
     """Build the jitted DP training step."""
     sigma = train_config["sigma"]
@@ -44,13 +55,26 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
     # (T, B, 4H) projection buffers and recompute per-step gates in the
     # backward pass (ops/lstm.py lstm_single_direction(remat=True))
     use_remat = bool(train_config.get("remat"))
+    anneal_end = int(train_config.get("prior_anneal_end_iter", 0))
 
-    def step(params, opt_state, batch, dropout_key, ctc_weight):
+    def step(params, opt_state, batch, dropout_key, ctc_weight,
+             prior_strength):
+        # continuous prior anneal: the attention applies the prior as an
+        # additive log term (models/attention.py:83-85), so raising the
+        # prior to the power lambda scales that term by lambda —
+        # lambda=1 is the full beta-binomial scaffold, lambda=0 a
+        # uniform (no-op) prior. The 1e-20 base epsilon mirrors the
+        # attention's own log epsilon so zero cells soften gradually
+        # instead of snapping open at lambda=0.
+        attn_prior = batch.get("attn_prior")
+        if attn_prior is not None and anneal_end > 0:
+            attn_prior = (attn_prior + 1e-20) ** prior_strength
+
         def loss_fn(p):
             out = flowtron_forward(
                 p, model_config_static, batch["mel"], batch["speaker_ids"],
                 batch["text"], batch["in_lens"], batch["out_lens"],
-                attn_prior=batch.get("attn_prior"), train=True,
+                attn_prior=attn_prior, train=True,
                 dropout_key=dropout_key, compute_dtype=compute_dtype,
                 remat_scans=use_remat)
             nll, gate, ctc = flowtron_loss(
@@ -75,7 +99,7 @@ def make_train_step(model_config_static, mesh, optimizer, train_config):
     # the mesh has a model axis — see parallel.mesh.place_params)
     return jax.jit(
         step,
-        in_shardings=(None, None, bshard, repl, repl),
+        in_shardings=(None, None, bshard, repl, repl, repl),
         donate_argnums=(0, 1),
     )
 
@@ -255,6 +279,8 @@ def train(config):
     use_ctc = bool(train_config.get("use_ctc_loss", False))
     ctc_start = int(train_config.get("ctc_loss_start_iter", 0))
     ctc_w = float(train_config.get("ctc_loss_weight", 0.0))
+    pa_start = int(train_config.get("prior_anneal_start_iter", 0))
+    pa_end = int(train_config.get("prior_anneal_end_iter", 0))
     iters_per_checkpoint = int(train_config.get("iters_per_checkpoint", 1000))
     epochs = int(train_config.get("epochs", 1))
     saver = AsyncSaver()
@@ -280,9 +306,12 @@ def train(config):
                 ctc_w if (use_ctc and iteration >= ctc_start) else 0.0,
                 jnp.float32)
             step_key = jax.random.fold_in(dropout_key, iteration)
+            prior_strength = jnp.asarray(
+                prior_strength_schedule(iteration, pa_start, pa_end),
+                jnp.float32)
             params, opt_state, metrics = train_step(
                 params, opt_state, _device_batch(batch, mesh), step_key,
-                ctc_weight)
+                ctc_weight, prior_strength)
 
             loss = float(metrics["loss"])
             now = time.time()

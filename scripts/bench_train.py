@@ -60,12 +60,12 @@ def main():
                 o = jax.tree.map(
                     lambda x: jnp.copy(x) if hasattr(x, "dtype") else x,
                     opt_state)
-                p, o, m = step(p, o, batch, key, 0.01)  # compile
+                p, o, m = step(p, o, batch, key, 0.01, 1.0)  # compile
                 float(m["loss"])
                 times = []
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    p, o, m = step(p, o, batch, key, 0.01)
+                    p, o, m = step(p, o, batch, key, 0.01, 1.0)
                     float(m["loss"])
                     times.append(time.perf_counter() - t0)
                 dt = min(times)

@@ -57,7 +57,7 @@ def build(B, T, Tk, n_flows, tc, fwd_only=False):
 
     if fwd_only:
         @jax.jit
-        def step(p, o, b, k, w):
+        def step(p, o, b, k, w, _prior_strength):
             out = flowtron_forward(
                 p, cfg, b["mel"], b["speaker_ids"], b["text"],
                 b["in_lens"], b["out_lens"], train=True, dropout_key=k,
@@ -86,12 +86,12 @@ def run(name, B=64, T=768, Tk=128, n_flows=2, fwd_only=False, **tc_over):
                      opt_state)
     key = jax.random.PRNGKey(0)
     try:
-        p, o, m = step(p, o, batch, key, jnp.asarray(0.01))
+        p, o, m = step(p, o, batch, key, jnp.asarray(0.01), jnp.asarray(1.0))
         float(m["loss"])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            p, o, m = step(p, o, batch, key, jnp.asarray(0.01))
+            p, o, m = step(p, o, batch, key, jnp.asarray(0.01), jnp.asarray(1.0))
             float(m["loss"])
             times.append(time.perf_counter() - t0)
         print(f"{name:12s}: {min(times)*1e3:7.1f} ms/step", flush=True)

@@ -112,7 +112,8 @@ def main():
                 b = _device_batch(batch, mesh)
                 # dropout_key=None: deterministic, batch-order-invariant
                 params, opt_state, m = train_step(params, opt_state, b,
-                                                  None, ctc_w)
+                                                  None, ctc_w,
+                                                  jnp.asarray(1.0))
                 losses.append(float(m["loss"]))
                 it += 1
                 if it >= n:

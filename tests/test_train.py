@@ -69,7 +69,7 @@ def _run(mesh, n_steps=12, seed=0):
     for i in range(n_steps):
         params, opt_state, metrics = step(
             params, opt_state, batch, jax.random.fold_in(key, i),
-            jnp.asarray(0.01))
+            jnp.asarray(0.01), jnp.asarray(1.0))
         losses.append(float(metrics["loss"]))
     return losses
 
@@ -118,7 +118,7 @@ class TestTraining:
         for i in range(40):
             params, opt_state, _ = step(params, opt_state, db,
                                         jax.random.fold_in(key, i),
-                                        jnp.asarray(0.01))
+                                        jnp.asarray(0.01), jnp.asarray(1.0))
         after = quality(params)
         assert after["gate_acc"] > 0.85, (before, after)
         assert after["gate_acc"] > before["gate_acc"], (before, after)
@@ -181,7 +181,7 @@ class TestMixedPrecision:
             params, opt_state, m = step(params, opt_state, batch,
                                         jax.random.fold_in(
                                             jax.random.PRNGKey(5), i),
-                                        jnp.asarray(0.01))
+                                        jnp.asarray(0.01), jnp.asarray(1.0))
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
@@ -207,7 +207,7 @@ class TestResume:
             for i in range(start, start + n):
                 params, opt_state, m = step(
                     params, opt_state, batch, jax.random.fold_in(key, i),
-                    jnp.asarray(0.01))
+                    jnp.asarray(0.01), jnp.asarray(1.0))
                 losses.append(float(m["loss"]))
             return params, opt_state, losses
 
@@ -259,7 +259,7 @@ class TestGaussianMixtureTraining:
             params, opt_state, m = step(
                 params, opt_state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
-                jnp.asarray(0.01))
+                jnp.asarray(0.01), jnp.asarray(1.0))
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
         # dropout makes single steps noisy; compare windowed means
@@ -297,7 +297,7 @@ class TestFinetuneFreeze:
             params, opt_state, _ = step(
                 params, opt_state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
-                jnp.asarray(0.01))
+                jnp.asarray(0.01), jnp.asarray(1.0))
         after = _flatten(params)
         changed = [k for k in before
                    if not np.array_equal(before[k], np.asarray(after[k]))]
@@ -406,7 +406,7 @@ class TestTensorParallel:
             params, opt_state, m = step(
                 params, opt_state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
-                jnp.asarray(0.01))
+                jnp.asarray(0.01), jnp.asarray(1.0))
             losses.append(float(m["loss"]))
 
         ref = _run(make_mesh((1,)), n_steps=4)
@@ -441,7 +441,7 @@ class TestTensorParallel:
             params, opt_state, m = step(
                 params, opt_state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(5), i),
-                jnp.asarray(0.01))
+                jnp.asarray(0.01), jnp.asarray(1.0))
             losses.append(float(m["loss"]))
 
         ref = _run(make_mesh((1,)), n_steps=4)
@@ -470,10 +470,137 @@ class TestRemat:
                 params, opt_state, m = step(
                     params, opt_state, batch,
                     jax.random.fold_in(jax.random.PRNGKey(5), i),
-                    jnp.asarray(0.01))
+                    jnp.asarray(0.01), jnp.asarray(1.0))
                 losses.append(float(m["loss"]))
             return losses
 
         plain = run_cfg(dict(TRAIN_CFG))
         remat = run_cfg(dict(TRAIN_CFG, remat=True))
         np.testing.assert_allclose(remat, plain, rtol=1e-5)
+
+
+class TestPriorAnneal:
+    """prior_anneal_*_iter: the beta-binomial scaffold's log-term is
+    scaled by a per-iteration strength so training can hand alignment
+    over to the model (extension; the reference trains with a constant
+    prior, reference:data.py:31-41)."""
+
+    def test_schedule_shape(self):
+        from flowtron_tpu.train.loop import prior_strength_schedule as f
+        # disabled (end=0): constant full prior
+        assert f(0, 0, 0) == 1.0 and f(10 ** 6, 0, 0) == 1.0
+        # ramp 1 -> 0 over (start, end), clamped outside
+        assert f(0, 100, 200) == 1.0
+        assert f(100, 100, 200) == 1.0
+        assert f(150, 100, 200) == pytest.approx(0.5)
+        assert f(200, 100, 200) == 0.0
+        assert f(10 ** 6, 100, 200) == 0.0
+        # monotone non-increasing
+        vals = [f(i, 100, 200) for i in range(0, 300, 7)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def test_strength_zero_equals_no_prior(self):
+        """lambda=0 neutralizes the prior: metrics match a batch whose
+        attn_prior was dropped entirely."""
+        mesh = make_mesh((1,))
+        shard = data_sharded(mesh)
+        cfg = dict(TRAIN_CFG, prior_anneal_start_iter=0,
+                   prior_anneal_end_iter=10)
+        params, static_cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                           use_gate_layer=True, **SMALL)
+        opt = masked_optimizer(
+            build_optimizer("RAdam", cfg["learning_rate"],
+                            cfg["weight_decay"], cfg["grad_clip_val"]),
+            trainable_mask(params))
+        step = make_train_step(static_cfg, mesh, opt, cfg)
+        step_np = make_train_step(static_cfg, mesh, opt, TRAIN_CFG)
+
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        batch_np = {k: v for k, v in batch.items() if k != "attn_prior"}
+        key = jax.random.PRNGKey(5)
+
+        def once(s, b, strength):
+            p = jax.tree.map(jnp.copy, params)
+            o = jax.jit(opt.init)(p)
+            _, _, m = s(p, o, b, key, jnp.asarray(0.01),
+                        jnp.asarray(strength))
+            return {k: float(v) for k, v in m.items()}
+
+        m0 = once(step, batch, 0.0)
+        m_np = once(step_np, batch_np, 1.0)
+        for k in ("loss", "nll", "gate", "ctc"):
+            assert m0[k] == pytest.approx(m_np[k], rel=2e-5), k
+
+    def test_strength_one_matches_constant_prior(self):
+        """lambda=1 is the full scaffold: metrics match the un-annealed
+        step on the same batch (the +1e-20 base shift is sub-eps)."""
+        mesh = make_mesh((1,))
+        shard = data_sharded(mesh)
+        cfg = dict(TRAIN_CFG, prior_anneal_start_iter=0,
+                   prior_anneal_end_iter=10)
+        params, static_cfg = flowtron_init(jax.random.PRNGKey(0), n_flows=2,
+                                           use_gate_layer=True, **SMALL)
+        opt = masked_optimizer(
+            build_optimizer("RAdam", cfg["learning_rate"],
+                            cfg["weight_decay"], cfg["grad_clip_val"]),
+            trainable_mask(params))
+        step = make_train_step(static_cfg, mesh, opt, cfg)
+        step_ref = make_train_step(static_cfg, mesh, opt, TRAIN_CFG)
+        batch = {k: jax.device_put(v, shard)
+                 for k, v in synthetic_batch().items()}
+        key = jax.random.PRNGKey(5)
+
+        def once(s, strength):
+            p = jax.tree.map(jnp.copy, params)
+            o = jax.jit(opt.init)(p)
+            _, _, m = s(p, o, batch, key, jnp.asarray(0.01),
+                        jnp.asarray(strength))
+            return {k: float(v) for k, v in m.items()}
+
+        m1 = once(step, 1.0)
+        mref = once(step_ref, 1.0)
+        for k in ("loss", "nll", "gate", "ctc"):
+            assert m1[k] == pytest.approx(mref[k], rel=2e-5), k
+
+    @pytest.mark.slow
+    def test_train_accepts_anneal_config(self, tmp_path):
+        """end-to-end: train() runs a schedule crossing the ramp (the
+        strength is a traced scalar, so the step compiles once)."""
+        from scipy.io import wavfile
+        from flowtron_tpu.config import load_config
+        from flowtron_tpu.train.loop import train
+        rng = np.random.default_rng(0)
+        words = ["hello there", "general kenobi"]
+        lines = []
+        # the mesh has 8 (virtual) devices, so the global batch is
+        # batch_size*8 = 16 — the corpus must fill one full batch
+        for i in range(16):
+            wav = (rng.standard_normal(4096) * 2000).astype(np.int16)
+            wavfile.write(tmp_path / f"u{i}.wav", 22050, wav)
+            lines.append(f"{tmp_path}/u{i}.wav|{words[i % 2]}|0")
+        (tmp_path / "fl.txt").write_text("\n".join(lines) + "\n")
+        cfg = load_config(overrides=[
+            f"data_config.training_files={tmp_path}/fl.txt",
+            f"data_config.validation_files={tmp_path}/fl.txt",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=True",
+            f"data_config.prior_cache_path={tmp_path}/prior",
+            "model_config.n_flows=1", "model_config.n_speakers=1",
+            "model_config.n_text_dim=16", "model_config.n_hidden=12",
+            "model_config.n_attn_channels=8",
+            "model_config.n_speaker_dim=4",
+            "model_config.mel_encoder_n_hidden=8",
+            "train_config.batch_size=2", "train_config.epochs=6",
+            "train_config.iters_per_checkpoint=100",
+            "train_config.with_tensorboard=False",
+            "train_config.prior_anneal_start_iter=1",
+            "train_config.prior_anneal_end_iter=4",
+            f"train_config.output_directory={tmp_path}/out",
+        ])
+        params, _, it = train(cfg)
+        assert it >= 5  # crossed the whole ramp
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(params))
