@@ -126,6 +126,7 @@ def main():
     e2e_rtf, e2e_detail = bench_e2e(params, cfg)
     stream_detail = bench_stream(params, cfg)
     serving_detail = bench_serving()
+    serving_mux16_detail = bench_serving_stream_mux(16)
     mux_detail = bench_mux(params, cfg)
     train_detail = bench_training(params, cfg)
 
@@ -147,6 +148,7 @@ def main():
                    "e2e": e2e_detail,
                    "stream": stream_detail,
                    "serving": serving_detail,
+                   "serving_stream_mux16": serving_mux16_detail,
                    "mux": mux_detail,
                    "train": train_detail},
     }))
@@ -324,6 +326,37 @@ def bench_mux(params, cfg, N=8, n_frames=400):
             "ttfa_rush_all_ms": round((ttfa - t0) * 1e3, 1)}
 
 
+def _load_bench_serve():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_serve", os.path.join(os.path.dirname(__file__),
+                                    "scripts", "bench_serve.py"))
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    return bs
+
+
+def bench_serving_stream_mux(N=16):
+    """Streaming serve under load through the N-slot mux (round-5 mux
+    scaling ask: the SERVE_STREAM=mux:16 load point of scripts/
+    bench_serve.py as a driver-visible detail). Workers open
+    engine.stream() and drain it; reports TTFA percentiles and
+    aggregate realtime. TPU-only."""
+    if jax.default_backend() != "tpu":
+        return {"skipped": jax.default_backend()}
+    bs = _load_bench_serve()
+    engine = bs.build_flagship_engine(max_batch=8, stream_mux=N)
+    try:
+        bs.run_stream_load(engine, N, N)          # cold: compiles/warms
+        warm = bs.run_stream_load(engine, 2 * N, N)
+    finally:
+        engine.shutdown()
+    warm["mux_slots"] = N
+    warm["note"] = ("warm pass; tunnel load-test variance is +-20% "
+                    "run-to-run — see ROADMAP ranges")
+    return warm
+
+
 def bench_serving():
     """Serving-engine throughput under concurrent load (scripts/
     bench_serve.py methodology: flagship dims, bf16, full 400-frame
@@ -331,15 +364,13 @@ def bench_serving():
     the flagship engine is not meaningful on one CPU core."""
     if jax.default_backend() != "tpu":
         return {"skipped": jax.default_backend()}
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "bench_serve", os.path.join(os.path.dirname(__file__),
-                                    "scripts", "bench_serve.py"))
-    bs = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bs)
+    bs = _load_bench_serve()
     engine = bs.build_flagship_engine(max_batch=8)
-    bs.run_load(engine, 16, 16)  # cold: compiles / warms the chain
-    warm = bs.run_load(engine, 48, 16)
+    try:
+        bs.run_load(engine, 16, 16)  # cold: compiles / warms the chain
+        warm = bs.run_load(engine, 48, 16)
+    finally:
+        engine.shutdown()
     warm["note"] = ("warm pass; tunnel load-test variance is +-20% "
                     "run-to-run — see ROADMAP ranges")
     return warm
