@@ -41,6 +41,10 @@ DEFAULT_CONFIG = {
         # end_iter=0 disables (constant full prior, reference behavior).
         "prior_anneal_start_iter": 0,
         "prior_anneal_end_iter": 0,
+        # >0: decode N free-running syntheses back to characters every
+        # validation and log validation/tone_cer_mel (coded-tone corpora
+        # only — see data/tone_cer.py)
+        "tone_cer_validation_texts": 0,
         "profile_dir": "",
         # directory-based per-shard checkpoint format (sharded_ckpt.py)
         # instead of the single-file pickle

@@ -282,6 +282,7 @@ def train(config):
     pa_start = int(train_config.get("prior_anneal_start_iter", 0))
     pa_end = int(train_config.get("prior_anneal_end_iter", 0))
     iters_per_checkpoint = int(train_config.get("iters_per_checkpoint", 1000))
+    tone_cer_texts = int(train_config.get("tone_cer_validation_texts", 0))
     epochs = int(train_config.get("epochs", 1))
     saver = AsyncSaver()
 
@@ -332,6 +333,20 @@ def train(config):
                     logger.log_validation(
                         val["loss"], val["nll"], val["gate"], val["ctc"],
                         last, iteration)
+                if tone_cer_texts > 0:
+                    # content-level intelligibility during training: the
+                    # coded-tone corpus decodes free-running synthesis
+                    # back to characters (data/tone_cer.py). Mel-path
+                    # decode (no vocoder) keeps the validation cheap.
+                    from flowtron_tpu.data.tone_cer import tone_cer_report
+                    rep = tone_cer_report(config, params, static_cfg,
+                                          max_texts=tone_cer_texts,
+                                          via_audio=False)
+                    print(f"Validation tone-CER(mel) {iteration}: "
+                          f"{rep['tone_cer_mel']:.4f}")
+                    if logger is not None:
+                        logger.add_scalar("validation/tone_cer_mel",
+                                          rep["tone_cer_mel"], iteration)
                 ckpt = os.path.join(output_directory, f"model_{iteration}")
                 # checkpoint_format: pickle (default) | sharded | orbax;
                 # sharded_checkpoints=true kept as the legacy spelling

@@ -179,3 +179,45 @@ class TestEvaluateIntegration:
                           tone_cer_texts=2)
         assert 0.0 <= result["tone_cer_mel"]
         assert result["tone_cer"] > 0.5  # untrained = unintelligible
+
+
+class TestTrainingValidationIntegration:
+    @pytest.mark.slow
+    def test_train_logs_tone_cer_scalar(self, tmp_path, capsys):
+        """train_config.tone_cer_validation_texts>0: the training loop
+        decodes free-running synthesis every validation and reports
+        validation/tone_cer_mel (the reference's listen-during-training
+        workflow as a live scalar)."""
+        from flowtron_tpu.config import load_config
+        from flowtron_tpu.data.synth import make_aligned_corpus
+        from flowtron_tpu.train.loop import train
+
+        train_fl, val_fl = make_aligned_corpus(
+            str(tmp_path), n_utterances=18, n_speakers=1, val_count=2,
+            seed=0)
+        config = load_config(overrides=[
+            f"data_config.training_files={train_fl}",
+            f"data_config.validation_files={val_fl}",
+            "data_config.p_arpabet=0.0",
+            "data_config.cmudict_path=",
+            "data_config.heteronyms_path=",
+            "data_config.use_attn_prior=False",
+            f"data_config.prior_cache_path={tmp_path}/prior",
+            "model_config.n_flows=1", "model_config.n_speakers=1",
+            "model_config.n_text_dim=16", "model_config.n_hidden=12",
+            "model_config.n_attn_channels=8",
+            "model_config.n_speaker_dim=4",
+            "model_config.mel_encoder_n_hidden=8",
+            "train_config.batch_size=1", "train_config.epochs=1",
+            "train_config.iters_per_checkpoint=1",
+            "train_config.with_tensorboard=False",
+            "train_config.tone_cer_validation_texts=2",
+            f"train_config.output_directory={tmp_path}/out",
+        ])
+        train(config)
+        out = capsys.readouterr().out
+        line = [ln for ln in out.splitlines()
+                if "Validation tone-CER(mel)" in ln]
+        assert line, out[-2000:]
+        val = float(line[0].rsplit(" ", 1)[1])
+        assert 0.0 <= val <= 3.0 and np.isfinite(val)
