@@ -28,9 +28,15 @@ if os.environ.get("FLOWTRON_BENCH_PROBED") != "1":
     try:
         out = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             # a real dispatch, not just enumeration: the tunnel has a
+             # failure mode where jax.devices() returns but the data
+             # plane hangs on the first computation
+             "import jax, jax.numpy as jnp; d = jax.devices()[0]; "
+             "print(d.platform, float(jnp.ones(8).sum()))"],
+            # 300 s: device init right after another axon client exits
+            # can take >180 s even on a healthy tunnel (observed r5)
             env=env, timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT",
-                                                  "180")),
+                                                  "300")),
             capture_output=True, text=True)
         probe_ok = out.returncode == 0
         probe_msg = (out.stdout + out.stderr).strip()[-200:]

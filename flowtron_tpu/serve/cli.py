@@ -35,7 +35,11 @@ def main(argv=None):
                              "commit their (encode+prelude) device work "
                              "per tick, so a rush of joins cannot stall "
                              "running streams' chunk cadence; 0 joins "
-                             "synchronously in the request thread")
+                             "synchronously in the request thread "
+                             "(measured: K=2 bounds the worst-case tick "
+                             "stall under join churn but roughly doubles "
+                             "cold rush-all TTFA — keep 0 unless high-"
+                             "occupancy steady serving; see ROADMAP.md)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only flows (alias: --quantize w8)")
     parser.add_argument("--quantize", choices=("w8", "w8a8", "w4"),
